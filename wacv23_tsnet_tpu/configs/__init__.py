@@ -1,0 +1,3 @@
+from .base import TSNetConfig, TrainConfig, face_config, pose_config, toy_config
+
+__all__ = ["TSNetConfig", "TrainConfig", "face_config", "pose_config", "toy_config"]

@@ -1,0 +1,142 @@
+"""Fused Pallas TPU kernel for the transformation branch.
+
+Fuses, for each tile of target pixels (reference model/TSNet.py:350-365):
+
+    logits = tar_tile @ src^T                # MXU, fp32
+    logits *= mt*ms + (1-mt)*(1-ms)          # bbox same-region coefficient
+    P      = exp(temp*logits - rowmax)       # VPU
+    flow   = (P @ grid_padded) / rowsum(P)   # MXU
+
+so the (h*w x h*w) attention matrix never leaves VMEM — the einsum path
+writes it to HBM twice (after the matmul, before the softmax), which at
+the shipped 1024x1024xB fp32 shape is the dominant memory traffic of the
+branch. The kernel keeps everything resident: one HBM read of the source
+features per batch element, one lane-padded flow write.
+
+The 2-wide coordinate grid is lane-padded to 128 so the `P @ grid`
+reduction maps onto the MXU; the pad columns are sliced off outside.
+
+Differentiable via `jax.custom_vjp`: the backward pass reuses the VJP of
+the einsum reference implementation (ops/similarity.py), recomputing
+activations — the standard flash-attention trade of FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128
+_TILE_T = 256
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode off-TPU (tests run on the CPU backend)."""
+    return jax.default_backend() not in ("tpu",)
+
+
+def _flow_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, out_ref, *, temp):
+    tt = t_ref[0].astype(jnp.float32)              # (TILE_T, C)
+    ss = s_ref[0].astype(jnp.float32)              # (S, C)
+    # Full fp32 MXU passes: the softmax temperature (100) amplifies any
+    # bf16-pass logit error 100x in exp space.
+    logits = jax.lax.dot_general(
+        tt, ss,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (TILE_T, S)
+    mt = mt_ref[0].astype(jnp.float32)             # (TILE_T, 1)
+    ms = ms_ref[0].astype(jnp.float32)             # (1, S)
+    coeff = mt * ms + (1.0 - mt) * (1.0 - ms)      # (TILE_T, S)
+    z = temp * (logits * coeff)
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    flow = jax.lax.dot_general(
+        p, grid_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (TILE_T, LANES)
+    out_ref[0] = flow / denom
+
+
+def _flow_pallas(tar_fea, src_fea, mt_col, ms_row, grid_padded, temp):
+    b, t, c = tar_fea.shape
+    s = src_fea.shape[1]
+    tile_t = min(_TILE_T, t)
+    kernel = functools.partial(_flow_kernel, temp=temp)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, t, _LANES), jnp.float32),
+        grid=(b, t // tile_t),
+        in_specs=[
+            pl.BlockSpec((1, tile_t, c), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_t, 1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, s), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, _LANES), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_t, _LANES), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * t * s * (c + _LANES),
+            bytes_accessed=4 * b * (t * c + s * c + t * _LANES),
+            transcendentals=b * t * s,
+        ),
+        interpret=_interpret(),
+    )(tar_fea, src_fea, mt_col, ms_row, grid_padded)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def masked_attention_flow_fused(tar_fea, src_fea, tar_mask, src_mask, grid,
+                                temp: float = 100.0):
+    """Drop-in fused version of `ops.similarity.masked_attention_flow`.
+
+    Same signature/semantics. Falls back to the einsum path when the
+    target-pixel count doesn't tile cleanly (every shipped config does:
+    32*32 = 1024 = 4 tiles of 256).
+    """
+    b, t, c = tar_fea.shape
+    s = src_fea.shape[1]
+    if t % min(_TILE_T, t) != 0:
+        from .similarity import masked_attention_flow
+        return masked_attention_flow(tar_fea, src_fea, tar_mask, src_mask,
+                                     grid, temp=temp)
+    grid_padded = jnp.zeros((s, _LANES), jnp.float32).at[:, :2].set(
+        grid.astype(jnp.float32))
+    out = _flow_pallas(
+        tar_fea.astype(jnp.float32), src_fea.astype(jnp.float32),
+        tar_mask.astype(jnp.float32).reshape(b, t, 1),
+        src_mask.astype(jnp.float32).reshape(b, 1, s),
+        grid_padded, temp)
+    return out[:, :, :2]
+
+
+def _fused_fwd(tar_fea, src_fea, tar_mask, src_mask, grid, temp):
+    out = masked_attention_flow_fused(tar_fea, src_fea, tar_mask, src_mask,
+                                      grid, temp)
+    return out, (tar_fea, src_fea, tar_mask, src_mask, grid)
+
+
+def _fused_bwd(temp, residuals, g):
+    from .similarity import masked_attention_flow
+    tar_fea, src_fea, tar_mask, src_mask, grid = residuals
+    _, vjp = jax.vjp(
+        lambda *a: masked_attention_flow(*a, temp=temp),
+        tar_fea, src_fea, tar_mask, src_mask, grid,
+    )
+    return vjp(g)
+
+
+masked_attention_flow_fused.defvjp(_fused_fwd, _fused_bwd)

@@ -1,0 +1,119 @@
+"""The transformation branch: mask-aware similarity -> coordinate flow.
+
+This is the algorithmic heart of TS-Net (reference model/TSNet.py:318-367).
+For every target pixel t and source pixel s (both at feature resolution,
+h*w positions, C=512 channels):
+
+    S[t, s]   = mask_coeff[t, s] * <tar_fea[t], src_fea[s]>
+    A         = softmax(temp * S, axis=s)          # temp = 100
+    flow[t]   = sum_s A[t, s] * grid[s]            # "coordinate translator"
+
+where the reference computes the bbox masking as TWO bmm's on
+mask-multiplied features — in-bbox pairs plus out-of-bbox pairs
+(model/TSNet.py:350-358). Because the masks scale whole channel vectors,
+that is algebraically `(mt*ms + (1-mt)*(1-ms)) * <t, s>`, so we run ONE
+matmul and fold the mask in as a rank-1 elementwise coefficient: half the
+MXU work, exactly equal for any real-valued masks (not just binary).
+
+Two implementations behind one signature:
+- `masked_attention_flow` — einsum/XLA path (differentiable, used in
+  training; XLA fuses mask+scale+softmax into the matmul epilogue).
+- the fused Pallas kernel in `pallas_similarity.py`, used on TPU for the
+  inference hot path and wired to this path's VJP for training.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .coords import normalized_grid
+from .grid_sample import grid_sample
+
+
+def _mask_coeff(tar_mask: jnp.ndarray, src_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, T) x (B, S) -> (B, T, S) same-region coefficient."""
+    mt = tar_mask[:, :, None]
+    ms = src_mask[:, None, :]
+    return mt * ms + (1.0 - mt) * (1.0 - ms)
+
+
+def masked_attention_flow(
+    tar_fea: jnp.ndarray,
+    src_fea: jnp.ndarray,
+    tar_mask: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    grid: jnp.ndarray,
+    temp: float = 100.0,
+) -> jnp.ndarray:
+    """Compute the coordinate-translator flow.
+
+    Args:
+      tar_fea:  (B, T, C) L2-normalized target label features.
+      src_fea:  (B, S, C) L2-normalized source image features.
+      tar_mask: (B, T) target bbox mask at feature resolution.
+      src_mask: (B, S) source bbox mask at feature resolution.
+      grid:     (S, 2) normalized (x, y) coordinates of source pixels.
+      temp:     softmax temperature (reference hard-codes 100).
+
+    Returns:
+      (B, T, 2) flow: the expected source coordinate per target pixel.
+    """
+    # Similarity + softmax stay full fp32: temp=100 amplifies any logit
+    # error 100x in exp space, so the default bf16-pass matmul is not
+    # acceptable here (measured 2e-3 logit / 4e-2 attention drift).
+    logits = jnp.einsum(
+        "btc,bsc->bts", tar_fea, src_fea,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    logits = logits * _mask_coeff(
+        tar_mask.astype(jnp.float32), src_mask.astype(jnp.float32)
+    )
+    attn = jax.nn.softmax(temp * logits, axis=-1)
+    return jnp.einsum(
+        "bts,sd->btd", attn, grid.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def transformation_warp(
+    src_img_fea: jnp.ndarray,
+    tar_fea_n: jnp.ndarray,
+    src_fea_n: jnp.ndarray,
+    tar_mask: jnp.ndarray,
+    src_mask: jnp.ndarray,
+    temp: float = 100.0,
+    use_pallas: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Full transformation-branch step for one source.
+
+    Args:
+      src_img_fea: (B, h, w, C) un-normalized source image features.
+      tar_fea_n:   (B, h, w, C) L2-normalized target label features.
+      src_fea_n:   (B, h, w, C) L2-normalized source image features.
+      tar_mask:    (B, h, w) target bbox at feature resolution.
+      src_mask:    (B, h, w) source bbox at feature resolution.
+
+    Returns:
+      (warped_fea (B, h, w, C), flow (B, h, w, 2)).
+    """
+    b, h, w, c = src_img_fea.shape
+    grid = normalized_grid(h, w).reshape(h * w, 2)
+    if use_pallas:
+        from .pallas_similarity import masked_attention_flow_fused
+        flow_fn = masked_attention_flow_fused
+    else:
+        flow_fn = masked_attention_flow
+    flow = flow_fn(
+        tar_fea_n.reshape(b, h * w, c),
+        src_fea_n.reshape(b, h * w, c),
+        tar_mask.reshape(b, h * w),
+        src_mask.reshape(b, h * w),
+        grid,
+        temp=temp,
+    )
+    flow = flow.reshape(b, h, w, 2)
+    warped = grid_sample(src_img_fea, flow, align_corners=False)
+    return warped, flow
