@@ -1,0 +1,85 @@
+"""Toy-training smoke: the reference quick_start1.py equivalent.
+
+Runs full `set_train_input` + `optimize_parameters` and the inference
+path on random tensors (reference model/TSNet.py:575-606), asserting
+shape contracts and loss finiteness.
+"""
+
+import numpy as np
+
+from wacv23_tsnet_tpu.configs import toy_config
+from wacv23_tsnet_tpu.models import TSNet
+
+RNG = np.random.default_rng(42)
+
+
+def _random_inputs(bs, size, label_nc, n_source):
+    srcs, lbls, boxes = [], [], []
+    for _ in range(n_source):
+        srcs.append(RNG.random((bs, 3, size, size), dtype=np.float32) * 255)
+        lbls.append(RNG.integers(0, 2, (bs, label_nc, size, size))
+                    .astype(np.float32))
+        boxes.append(RNG.integers(0, 2, (bs, size, size)).astype(np.float32))
+    tar_img = RNG.random((bs, 3, size, size), dtype=np.float32) * 255
+    tar_lbl = RNG.integers(0, 2, (bs, label_nc, size, size)).astype(np.float32)
+    tar_bbox = RNG.integers(0, 2, (bs, size, size)).astype(np.float32)
+    return srcs, lbls, boxes, tar_img, tar_lbl, tar_bbox
+
+
+def test_toy_train_step_and_inference():
+    cfg = toy_config()
+    bs, size = 2, cfg.image_size
+    model = TSNet(cfg, is_train=True, use_pallas=False)
+    srcs, lbls, boxes, tar_img, tar_lbl, tar_bbox = _random_inputs(
+        bs, size, cfg.label_nc, cfg.n_source)
+
+    model.setup(actual_step=0, batch_size=bs, initial_iter=100,
+                max_iter=1000, power=1.0)
+    model.set_train_input(srcs, lbls, boxes, tar_img, tar_lbl, tar_bbox)
+    model.optimize_parameters()
+
+    losses = model.get_current_losses()
+    assert set(losses) == {"G", "G_GAN", "G_FML", "G_VGG", "D", "D_real",
+                           "D_fake", "grad_G", "warp", "align"}
+    for name, value in losses.items():
+        assert np.isfinite(value), f"loss {name} not finite"
+    assert model.rec_tar_img.shape == (bs, 3, size, size)
+    assert np.isfinite(model.rec_tar_img).all()
+
+    # params actually moved
+    step1_loss = losses["G"]
+    model.optimize_parameters()
+    assert model.get_current_losses()["G"] != step1_loss
+
+    # forward() in train mode exposes the warp image list
+    model.forward()
+    assert len(model.warp_src_img_list) == cfg.n_source
+    assert model.warp_src_img_list[0].shape == (bs, 3, size, size)
+
+    # inference path
+    infer = TSNet(cfg, is_train=False, use_pallas=False)
+    infer.load_generator_params(model.generator_params)
+    infer.set_test_input(srcs, lbls, boxes, tar_lbl, tar_bbox)
+    infer.forward()
+    assert infer.rec_tar_img.shape == (bs, 3, size, size)
+    assert np.abs(infer.rec_tar_img).max() <= 1.0  # tanh range
+
+    # set_source_num: fewer sources recompiles but runs
+    infer.set_source_num(1)
+    infer.set_test_input(srcs[:1], lbls[:1], boxes[:1], tar_lbl, tar_bbox)
+    infer.forward()
+    assert infer.rec_tar_img.shape == (bs, 3, size, size)
+
+
+def test_poly_lr_schedule_matches_reference():
+    from wacv23_tsnet_tpu.train.schedule import lr_poly
+
+    def ref_lr_poly(base_lr, it, initial_iter, max_iter, power):
+        # reference model/TSNet.py:523-524
+        return base_lr * ((1 - max(0, float(it - initial_iter)
+                                   / (max_iter - initial_iter))) ** power)
+
+    for it in [0, 50, 100, 500, 999]:
+        want = ref_lr_poly(2e-4, it, 100, 1000, 1.0)
+        got = float(lr_poly(2e-4, it, 100, 1000, 1.0))
+        assert abs(want - got) < 1e-9  # jnp computes in float32

@@ -1,0 +1,312 @@
+"""The TS-Net functional core (pure JAX; reference model/TSNet.py:309-407).
+
+Everything here is jit-compatible and batched over BOTH the batch and the
+source axes: the reference's per-source Python loop (model/TSNet.py:336)
+becomes a `vmap` over a (B, S, ...) axis, so `set_source_num` is just a
+different static S and the whole forward compiles to one XLA program.
+
+Tensor conventions (vs the torch reference):
+- NHWC everywhere (TPU-native layout).
+- Images live in "model space": (BGR - mean) / 255 (the dataset subtracts
+  the mean, `set_*_input` divides by 255; reference
+  dataset_video_face.py:136-139, TSNet.py:268,279).
+- Labels are one-hot float maps (B, H, W, label_nc).
+- bbox masks are float (B, H, W).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..configs import TSNetConfig
+from ..losses.image import l1_loss, cosine_align_loss, renorm_to_reference
+from ..nn import Decoder, Encoder, FuseNet, PatchDiscriminator
+from ..ops.norms import l2_normalize
+from ..ops.resize import resize_nearest, _sample_separable
+from ..ops.similarity import transformation_warp
+from ..ops.warp import patch_warp
+
+
+class TSNetModules:
+    """Flax module definitions for all TS-Net subnets, from one config."""
+
+    def __init__(self, cfg: TSNetConfig):
+        self.cfg = cfg
+        dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.dtype = dt
+        feat = cfg.feat_ch
+        self.img_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
+                               n_blocks=cfg.enc_n_blocks,
+                               addcoords=cfg.addcoords, dtype=dt)
+        self.lbl_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
+                               n_blocks=0, addcoords=cfg.addcoords, dtype=dt)
+        self.dec = Decoder(output_nc=3, ngf=cfg.ngf,
+                           n_downsampling=cfg.n_downsampling,
+                           n_blocks=cfg.dec_n_blocks, dtype=dt)
+        self.fuse_net = FuseNet(ngf=2 * feat, n_blocks=1, dtype=dt)
+        self.netD = PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
+                                       dtype=dt)
+        self.netDF = (PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
+                                         dtype=dt)
+                      if cfg.use_face_d else None)
+
+    def init_generator_params(self, rng: jax.Array) -> dict:
+        cfg = self.cfg
+        hw = cfg.image_size
+        r1, r2, r3, r4 = jax.random.split(rng, 4)
+        img = jnp.zeros((1, hw, hw, 3 + cfg.label_nc), jnp.float32)
+        lbl = jnp.zeros((1, hw, hw, cfg.label_nc), jnp.float32)
+        fea = jnp.zeros((1, cfg.feat_size, cfg.feat_size, cfg.feat_ch),
+                        jnp.float32)
+        return {
+            "img_enc": self.img_enc.init(r1, img)["params"],
+            "lbl_enc": self.lbl_enc.init(r2, lbl)["params"],
+            "dec": self.dec.init(r3, fea, fea)["params"],
+            "fuse_net": self.fuse_net.init(r4, fea, fea)["params"],
+        }
+
+    def init_discriminator_params(self, rng: jax.Array) -> dict:
+        cfg = self.cfg
+        hw = cfg.image_size
+        r1, r2 = jax.random.split(rng)
+        st = jnp.zeros((1, hw, hw, cfg.label_nc + 3), jnp.float32)
+        params = {"netD": self.netD.init(r1, st)["params"]}
+        if self.netDF is not None:
+            face = jnp.zeros((1, hw // 32 * 8, hw // 32 * 8, 3), jnp.float32)
+            params["netDF"] = self.netDF.init(r2, face)["params"]
+        return params
+
+
+def get_face_bbox(lbl: jnp.ndarray, h: int, w: int):
+    """Data-dependent face crop box from a pose label map (one sample).
+
+    Reimplements reference model/TSNet_pose.py:450-482 with static-shape
+    masked min/max arithmetic (the torch version calls `.nonzero()` +
+    `.item()`, which cannot trace). Channel -1 is the face class; channels
+    1..4 the head classes.
+
+    Returns (yc, xc, length) as traced int32 scalars.
+    """
+    face_mask = lbl[:, :, -1] > 0
+    head_mask = (lbl[:, :, 1] + lbl[:, :, 2] + lbl[:, :, 3] + lbl[:, :, 4]) > 0
+
+    rows = jnp.arange(h)[:, None]
+    cols = jnp.arange(w)[None, :]
+
+    def extent(mask):
+        big = jnp.int32(1 << 20)
+        ys = jnp.min(jnp.where(mask, rows, big))
+        ye = jnp.max(jnp.where(mask, rows, -big))
+        xs = jnp.min(jnp.where(mask, cols, big))
+        xe = jnp.max(jnp.where(mask, cols, -big))
+        return ys, ye, xs, xe
+
+    def center_from(mask):
+        ys, ye, xs, xe = extent(mask)
+        xc = (xs + xe) // 2
+        yc = (ys * 3 + ye * 2) // 5
+        ln = ((xe - xs) * 5) // 2          # int((xe-xs) * 2.5)
+        ln = jnp.minimum(w, jnp.maximum(32, ln))
+        yc = jnp.maximum(ln // 2, jnp.minimum(h - 1 - ln // 2, yc))
+        xc = jnp.maximum(ln // 2, jnp.minimum(w - 1 - ln // 2, xc))
+        return yc, xc, ln
+
+    default = (jnp.int32(h // 4), jnp.int32(w // 2), jnp.int32(h // 32 * 8))
+    has_face = jnp.any(face_mask)
+    has_head = jnp.any(head_mask)
+    yc_f, xc_f, ln_f = center_from(face_mask)
+    yc_h, xc_h, ln_h = center_from(head_mask)
+    yc = jnp.where(has_face, yc_f, jnp.where(has_head, yc_h, default[0]))
+    xc = jnp.where(has_face, xc_f, jnp.where(has_head, xc_h, default[1]))
+    ln = jnp.where(has_face, ln_f, jnp.where(has_head, ln_h, default[2]))
+    return yc, xc, ln
+
+
+def crop_faces(images: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Crop + resize the face region of each image (pose variant).
+
+    Matches reference `crop_face` (model/TSNet_pose.py:438-448): the
+    [ys:ye, xs:xe] crop bilinearly resized to (face_size, face_size) with
+    align_corners=True. Implemented as direct bilinear sampling at the
+    crop's align-corners sample positions — identical math, static shape,
+    batched with vmap instead of the reference's per-sample Python loop.
+    """
+    b, h, w, _ = images.shape
+    face_size = h // 32 * 8
+
+    def one(img, lbl):
+        yc, xc, ln = get_face_bbox(lbl, h, w)
+        ys = (yc - ln // 2).astype(jnp.float32)
+        xs = (xc - ln // 2).astype(jnp.float32)
+        # align_corners=True sampling of a length-ln crop to face_size
+        t = jnp.arange(face_size, dtype=jnp.float32) / (face_size - 1)
+        ys_pos = ys + t * (ln.astype(jnp.float32) - 1.0)
+        xs_pos = xs + t * (ln.astype(jnp.float32) - 1.0)
+        return _sample_separable(img[None], ys_pos, xs_pos)[0]
+
+    return jax.vmap(one)(images, labels)
+
+
+def tsnet_forward(
+    mods: TSNetModules,
+    params: dict,
+    src_img: jnp.ndarray,    # (B, S, H, W, 3) model space
+    src_lbl: jnp.ndarray,    # (B, S, H, W, L)
+    src_bbox: jnp.ndarray,   # (B, S, H, W)
+    tar_lbl: jnp.ndarray,    # (B, H, W, L)
+    tar_bbox: jnp.ndarray,   # (B, H, W)
+    tar_img: Optional[jnp.ndarray] = None,   # (B, H, W, 3), train only
+    train: bool = False,
+    use_pallas: bool = True,
+    return_flow: bool = False,
+) -> dict[str, Any]:
+    """One TS-Net generator forward (reference model/TSNet.py:309-407)."""
+    cfg = mods.cfg
+    b, s, hh, ww, _ = src_img.shape
+    dt = mods.dtype
+
+    # --- encoders ------------------------------------------------------
+    enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
+    src_img_fea = jax.vmap(
+        lambda x: mods.img_enc.apply({"params": params["img_enc"]}, x),
+        in_axes=1, out_axes=1)(enc_in)                 # (B, S, h, w, C)
+    tar_lbl_fea = mods.lbl_enc.apply({"params": params["lbl_enc"]},
+                                     tar_lbl.astype(dt))  # (B, h, w, C)
+    h, w = tar_lbl_fea.shape[1:3]
+
+    # --- transformation branch ----------------------------------------
+    tar_fea_n = l2_normalize(tar_lbl_fea.astype(jnp.float32), axis=-1)
+    tar_mask = resize_nearest(tar_bbox[..., None], (h, w))[..., 0]
+    src_fea_n = l2_normalize(src_img_fea.astype(jnp.float32), axis=-1)
+    src_mask = jax.vmap(
+        lambda m: resize_nearest(m[..., None], (h, w))[..., 0],
+        in_axes=1, out_axes=1)(src_bbox)               # (B, S, h, w)
+
+    def warp_one(fea, fea_n, mask):
+        return transformation_warp(
+            fea.astype(jnp.float32), tar_fea_n, fea_n, tar_mask, mask,
+            temp=cfg.softmax_temp, use_pallas=use_pallas)
+
+    warped_fea, flows = jax.vmap(warp_one, in_axes=1, out_axes=1)(
+        src_img_fea, src_fea_n, src_mask)              # (B,S,h,w,C), (B,S,h,w,2)
+
+    out: dict[str, Any] = {}
+    if return_flow:
+        out["flows"] = flows
+
+    if train:
+        assert tar_img is not None
+        # image-space warp supervision (reference model/TSNet.py:372-387)
+        def warp_img_one(img, flow):
+            warped = patch_warp(img.astype(jnp.float32),
+                                flow.astype(jnp.float32))
+            return renorm_to_reference(warped, tar_img.astype(jnp.float32))
+
+        warp_imgs = jax.vmap(warp_img_one, in_axes=1, out_axes=1)(
+            src_img, flows)                            # (B, S, H, W, 3)
+        if cfg.use_fg_mask:
+            warp_imgs = composite_foreground(warp_imgs, cfg)
+        out["warp_imgs"] = warp_imgs
+        # 10 * L1 per source, summed over sources
+        out["loss_warp"] = 10.0 * jnp.sum(jax.vmap(
+            lambda wi: l1_loss(wi, tar_img), in_axes=1)(warp_imgs))
+
+    prop_fea = jnp.mean(warped_fea, axis=1).astype(dt)  # (B, h, w, C)
+
+    # --- synthesis branch ---------------------------------------------
+    syn_fea = jnp.mean(jax.vmap(
+        lambda f: mods.fuse_net.apply({"params": params["fuse_net"]},
+                                      f, tar_lbl_fea),
+        in_axes=1, out_axes=1)(src_img_fea), axis=1)   # (B, h, w, C)
+
+    if train and cfg.use_align_loss:
+        out["loss_align"] = cosine_align_loss(prop_fea, syn_fea)
+
+    rec_img, rec_fea = mods.dec.apply({"params": params["dec"]},
+                                      prop_fea, syn_fea)
+    rec_img = rec_img.astype(jnp.float32)
+    if cfg.use_fg_mask:
+        rec_img = composite_foreground(rec_img, cfg)
+    out["rec_img"] = rec_img
+    out["rec_fea"] = rec_fea
+    out["prop_fea"] = prop_fea
+    out["syn_fea"] = syn_fea
+    return out
+
+
+def tsnet_forward_clip(
+    mods: TSNetModules,
+    params: dict,
+    src_img: jnp.ndarray,    # (S, H, W, 3) shared reference frames
+    src_lbl: jnp.ndarray,    # (S, H, W, L)
+    src_bbox: jnp.ndarray,   # (S, H, W)
+    tar_lbl: jnp.ndarray,    # (F, H, W, L) whole driving clip
+    tar_bbox: jnp.ndarray,   # (F, H, W)
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Whole-clip inference: encode the S references ONCE, batch frames.
+
+    The reference demo re-encodes all sources every frame inside a
+    Python loop (demo/demo_face.py:185-192); here source features are
+    computed once and broadcast over the F driving frames, so per-frame
+    cost is one label-encoder pass + S transformation branches + one
+    decoder pass. Returns (F, H, W, 3) reconstructions.
+    """
+    cfg = mods.cfg
+    dt = mods.dtype
+    f = tar_lbl.shape[0]
+
+    enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
+    src_fea = mods.img_enc.apply({"params": params["img_enc"]}, enc_in)
+    tar_fea = mods.lbl_enc.apply({"params": params["lbl_enc"]},
+                                 tar_lbl.astype(dt))        # (F, h, w, C)
+    h, w = tar_fea.shape[1:3]
+
+    tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
+    tar_mask = resize_nearest(tar_bbox[..., None], (h, w))[..., 0]
+    src_fea_n = l2_normalize(src_fea.astype(jnp.float32), axis=-1)
+    src_mask = resize_nearest(src_bbox[..., None], (h, w))[..., 0]
+
+    def warp_one_source(fea_s, fea_n_s, mask_s):
+        fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape)
+        fea_n_b = jnp.broadcast_to(fea_n_s[None], (f,) + fea_n_s.shape)
+        mask_b = jnp.broadcast_to(mask_s[None], (f,) + mask_s.shape)
+        warped, _ = transformation_warp(
+            fea_b.astype(jnp.float32), tar_fea_n, fea_n_b, tar_mask, mask_b,
+            temp=cfg.softmax_temp, use_pallas=use_pallas)
+        return warped
+
+    warped = jax.vmap(warp_one_source, in_axes=0, out_axes=0)(
+        src_fea, src_fea_n, src_mask)            # (S, F, h, w, C)
+    prop_fea = jnp.mean(warped, axis=0).astype(dt)
+
+    def fuse_one_source(fea_s):
+        fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape).astype(dt)
+        return mods.fuse_net.apply({"params": params["fuse_net"]},
+                                   fea_b, tar_fea)
+
+    syn_fea = jnp.mean(jax.vmap(fuse_one_source)(src_fea), axis=0)
+
+    rec_img, _ = mods.dec.apply({"params": params["dec"]}, prop_fea, syn_fea)
+    rec_img = rec_img.astype(jnp.float32)
+    if cfg.use_fg_mask:
+        rec_img = composite_foreground(rec_img, cfg)
+    return rec_img
+
+
+def composite_foreground(img: jnp.ndarray, cfg: TSNetConfig) -> jnp.ndarray:
+    """Fixed foreground-column compositing of the pose variant.
+
+    Reference model/TSNet_pose.py:276-280,395-396,416-417: columns
+    64:192 (of 256) are foreground; the background is painted with the
+    model-space mean color (-mean/255).
+    """
+    w = img.shape[-2]
+    lo, hi = w // 4, 3 * w // 4
+    cols = jnp.arange(w)
+    fore = ((cols >= lo) & (cols < hi)).astype(img.dtype)[None, :, None]
+    bg = (-cfg.img_mean_array() / 255.0).astype(img.dtype)
+    return img * fore + bg * (1.0 - fore)

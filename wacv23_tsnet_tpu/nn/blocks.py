@@ -33,16 +33,17 @@ class ResnetBlock(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = reflect_pad(x, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=conv_init,
-                    dtype=self.dtype, name="conv1")(h)
+                    dtype=self.dtype, precision=self.precision, name="conv1")(h)
         h = instance_norm(h)
         h = nn.relu(h)
         h = reflect_pad(h, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=conv_init,
-                    dtype=self.dtype, name="conv2")(h)
+                    dtype=self.dtype, precision=self.precision, name="conv2")(h)
         h = instance_norm(h)
         return x + h

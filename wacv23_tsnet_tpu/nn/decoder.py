@@ -24,28 +24,29 @@ class Decoder(nn.Module):
     n_downsampling: int = 4
     n_blocks: int = 0
     dtype: jnp.dtype = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, prop_fea: jnp.ndarray, syn_fea: jnp.ndarray):
         x = jnp.concatenate([prop_fea, syn_fea], axis=-1)
         mult = 2 ** self.n_downsampling
         x = nn.Conv(self.ngf * mult, (1, 1), kernel_init=conv_init,
-                    dtype=self.dtype, name="map_conv")(x)
+                    dtype=self.dtype, precision=self.precision, name="map_conv")(x)
         for j in range(self.n_blocks):
-            x = ResnetBlock(self.ngf * mult, dtype=self.dtype,
+            x = ResnetBlock(self.ngf * mult, dtype=self.dtype, precision=self.precision,
                             name=f"block{j}")(x)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             x = upsample_bilinear_2x(x)
             x = reflect_pad(x, 1)
             x = nn.Conv(self.ngf * mult // 2, (3, 3), padding="VALID",
-                        kernel_init=conv_init, dtype=self.dtype,
+                        kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
                         name=f"up{i}")(x)
             x = instance_norm(x)
             x = nn.relu(x)
         fea = x
         x = reflect_pad(x, 3)
         x = nn.Conv(self.output_nc, (7, 7), padding="VALID",
-                    kernel_init=conv_init, dtype=self.dtype,
+                    kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
                     name="conv_out")(x)
         return jnp.tanh(x), fea

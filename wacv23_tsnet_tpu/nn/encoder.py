@@ -26,6 +26,7 @@ class Encoder(nn.Module):
     addcoords: bool = False
     normalization: bool = False
     dtype: jnp.dtype = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -33,18 +34,18 @@ class Encoder(nn.Module):
             x = coord_channels(x)
         x = reflect_pad(x, 3)
         x = nn.Conv(self.ngf, (7, 7), padding="VALID", kernel_init=conv_init,
-                    dtype=self.dtype, name="conv_in")(x)
+                    dtype=self.dtype, precision=self.precision, name="conv_in")(x)
         x = instance_norm(x)
         x = nn.relu(x)
         for i in range(self.n_downsampling):
             x = nn.Conv(self.ngf * (2 ** (i + 1)), (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)), kernel_init=conv_init,
-                        dtype=self.dtype, name=f"down{i}")(x)
+                        dtype=self.dtype, precision=self.precision, name=f"down{i}")(x)
             x = instance_norm(x)
             x = nn.relu(x)
         for j in range(self.n_blocks):
             x = ResnetBlock(self.ngf * (2 ** self.n_downsampling),
-                            dtype=self.dtype, name=f"block{j}")(x)
+                            dtype=self.dtype, precision=self.precision, name=f"block{j}")(x)
         if self.normalization:
             x = l2_normalize(x, axis=-1)
         return x

@@ -42,13 +42,14 @@ class VGG19Features(nn.Module):
     """Returns [relu1_1, relu2_1, relu3_1, relu4_1, relu5_1] activations."""
 
     dtype: jnp.dtype = jnp.float32
+    precision: str = "highest"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
         taps = []
         for i, ch in enumerate(_VGG_CHANNELS):
             x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, name=f"conv{i}")(x)
+                        dtype=self.dtype, precision=self.precision, name=f"conv{i}")(x)
             x = nn.relu(x)
             if i in _TAPS:
                 taps.append(x)

@@ -1,0 +1,144 @@
+"""The jitted GAN train step (reference model/TSNet.py:432-460).
+
+One `train_step` call performs the reference's full
+`optimize_parameters`: D update on (stop-gradiented fake, real), then G
+update against the UPDATED discriminator — reproducing the exact
+torch ordering (D.step() happens before G's backward touches netD). The
+pose variant adds the face-crop discriminator to both phases
+(model/TSNet_pose.py:509-542).
+
+`stop_gradient` replaces `.detach()`/`set_requires_grad`; the learning
+rate enters as a traced scalar so the poly schedule never retriggers
+compilation.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..losses import (feature_matching_loss, gradient_loss, lsgan_loss,
+                      vgg_perceptual_loss)
+from ..models.tsnet import TSNetModules, crop_faces, tsnet_forward
+from ..nn import VGG19Features
+from .state import TSNetTrainState, adam_transform
+
+
+def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
+                    d_lr_factor: float = 0.5, beta1: float = 0.5,
+                    use_pallas: bool = True, donate: bool = True):
+    """Build the jitted train step for this model configuration."""
+    cfg = mods.cfg
+    opt = adam_transform(beta1=beta1)
+    vgg = VGG19Features(dtype=mods.dtype)
+
+    def d_losses(disc_params, batch, rec_img):
+        fake_st = jnp.concatenate([batch["tar_lbl"], rec_img], axis=-1)
+        real_st = jnp.concatenate([batch["tar_lbl"], batch["tar_img"]], axis=-1)
+        pred_fake = mods.netD.apply({"params": disc_params["netD"]}, fake_st)
+        pred_real = mods.netD.apply({"params": disc_params["netD"]}, real_st)
+        loss_d_fake = lsgan_loss(pred_fake[-1], False)
+        loss_d_real = lsgan_loss(pred_real[-1], True)
+        losses = {"D_fake": loss_d_fake, "D_real": loss_d_real,
+                  "D": 0.5 * (loss_d_fake + loss_d_real)}
+        total = losses["D"]
+        if cfg.use_face_d:
+            fake_face = crop_faces(rec_img, batch["tar_lbl"])
+            real_face = crop_faces(batch["tar_img"], batch["tar_lbl"])
+            pf = mods.netDF.apply({"params": disc_params["netDF"]}, fake_face)
+            pr = mods.netDF.apply({"params": disc_params["netDF"]}, real_face)
+            losses["DF_fake"] = lsgan_loss(pf[-1], False)
+            losses["DF_real"] = lsgan_loss(pr[-1], True)
+            losses["DF"] = 0.5 * (losses["DF_fake"] + losses["DF_real"])
+            total = total + losses["DF"]
+        return total, losses
+
+    def g_losses(gen_params, disc_params, vgg_params, batch):
+        out = tsnet_forward(
+            mods, gen_params,
+            batch["src_img"], batch["src_lbl"], batch["src_bbox"],
+            batch["tar_lbl"], batch["tar_bbox"], tar_img=batch["tar_img"],
+            train=True, use_pallas=use_pallas)
+        rec = out["rec_img"]
+        tar = batch["tar_img"]
+        fake_st = jnp.concatenate([batch["tar_lbl"], rec], axis=-1)
+        real_st = jnp.concatenate([batch["tar_lbl"], tar], axis=-1)
+        pred_fake = mods.netD.apply({"params": disc_params["netD"]}, fake_st)
+        pred_real = mods.netD.apply({"params": disc_params["netD"]}, real_st)
+        pred_real = jax.lax.stop_gradient(pred_real)
+        losses = {
+            "G_GAN": lsgan_loss(pred_fake[-1], True),
+            "G_FML": feature_matching_loss(pred_fake, pred_real,
+                                           cfg.lambda_fml),
+            "G_VGG": cfg.lambda_vgg * vgg_perceptual_loss(
+                vgg, vgg_params, rec, jax.lax.stop_gradient(tar)),
+            "grad_G": cfg.lambda_grad * gradient_loss(rec, tar),
+            "warp": out["loss_warp"],
+        }
+        losses["G"] = losses["G_GAN"] + losses["G_FML"] + losses["G_VGG"]
+        total = losses["G"] + losses["grad_G"] + losses["warp"]
+        if cfg.use_align_loss:
+            losses["align"] = out["loss_align"]
+            total = total + losses["align"]
+        if cfg.use_face_d:
+            fake_face = crop_faces(rec, batch["tar_lbl"])
+            real_face = jax.lax.stop_gradient(
+                crop_faces(tar, batch["tar_lbl"]))
+            pf = mods.netDF.apply({"params": disc_params["netDF"]}, fake_face)
+            pr = jax.lax.stop_gradient(
+                mods.netDF.apply({"params": disc_params["netDF"]}, real_face))
+            losses["GF_GAN"] = lsgan_loss(pf[-1], True)
+            losses["GF_FML"] = feature_matching_loss(pf, pr, cfg.lambda_fml)
+            losses["GF_VGG"] = cfg.lambda_vgg * vgg_perceptual_loss(
+                vgg, vgg_params, fake_face, real_face)
+            losses["GF"] = (losses["GF_GAN"] + losses["GF_FML"]
+                            + losses["GF_VGG"])
+            total = total + losses["GF"]
+        return total, (losses, rec)
+
+    def train_step(state: TSNetTrainState, batch: dict[str, Any],
+                   lr: jax.Array):
+        # ---- D phase: fake from the CURRENT generator, detached --------
+        out = tsnet_forward(
+            mods, state.gen_params,
+            batch["src_img"], batch["src_lbl"], batch["src_bbox"],
+            batch["tar_lbl"], batch["tar_bbox"], tar_img=batch["tar_img"],
+            train=False, use_pallas=use_pallas)
+        rec_detached = jax.lax.stop_gradient(out["rec_img"])
+
+        (_, d_metrics), d_grads = jax.value_and_grad(
+            d_losses, has_aux=True)(state.disc_params, batch, rec_detached)
+        d_updates, disc_opt_state = opt.update(d_grads, state.disc_opt_state,
+                                               state.disc_params)
+        d_updates = jax.tree.map(lambda u: -(d_lr_factor * lr) * u, d_updates)
+        disc_params = jax.tree.map(lambda p, u: p + u,
+                                   state.disc_params, d_updates)
+
+        # ---- G phase: against the UPDATED discriminator ----------------
+        (_, (g_metrics, rec)), g_grads = jax.value_and_grad(
+            g_losses, has_aux=True)(state.gen_params, disc_params,
+                                    state.vgg_params, batch)
+        g_updates, gen_opt_state = opt.update(g_grads, state.gen_opt_state,
+                                              state.gen_params)
+        subnet_lr = {"img_enc": lr, "lbl_enc": lr, "dec": lambda_dec * lr,
+                     "fuse_net": lr}
+        g_updates = {
+            name: jax.tree.map(lambda u: -subnet_lr[name] * u, tree)
+            for name, tree in g_updates.items()
+        }
+        gen_params = jax.tree.map(lambda p, u: p + u,
+                                  state.gen_params, g_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            gen_params=gen_params,
+            disc_params=disc_params,
+            gen_opt_state=gen_opt_state,
+            disc_opt_state=disc_opt_state,
+        )
+        metrics = {**d_metrics, **g_metrics}
+        return new_state, metrics, rec
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
