@@ -1,0 +1,197 @@
+"""Benchmark: full-video streaming inference frames/sec on one chip.
+
+Flagship config (BASELINE.json: "full-video streaming inference"):
+face model, 256x256, label_nc=2, n_source=3, whole driving clip batched
+on device. Prints ONE JSON line:
+    {"metric": ..., "value": fps, "unit": "frames/sec/chip", "vs_baseline": r}
+
+vs_baseline denominator: the PyTorch reference publishes no numbers
+(BASELINE.md), so the baseline is the reference network's per-frame
+inference loop (demo_face.py semantics: re-encode all 3 sources every
+frame) measured with torch on THIS host, cached in BASELINE_MEASURED.json.
+torch in this image is CPU-only; the cached record notes the device so
+the ratio is interpretable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+N_SOURCE = 3
+SIZE = 256
+LABEL_NC = 2
+CLIP_FRAMES = 32
+log = lambda *a: print(*a, file=sys.stderr, flush=True)
+
+
+def measure_ours() -> float:
+    import jax
+    from wacv23_tsnet_tpu.configs import face_config
+    from wacv23_tsnet_tpu.models import TSNetModules
+    from wacv23_tsnet_tpu.models.tsnet import tsnet_forward_clip
+    import functools
+    import jax.numpy as jnp
+
+    cfg = face_config()
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    src_img = jnp.asarray(rng.random((N_SOURCE, SIZE, SIZE, 3), np.float32))
+    src_lbl = jnp.asarray(
+        rng.integers(0, 2, (N_SOURCE, SIZE, SIZE, LABEL_NC)).astype(np.float32))
+    src_bbox = jnp.asarray(
+        rng.integers(0, 2, (N_SOURCE, SIZE, SIZE)).astype(np.float32))
+    tar_lbl = jnp.asarray(
+        rng.integers(0, 2, (CLIP_FRAMES, SIZE, SIZE, LABEL_NC)).astype(np.float32))
+    tar_bbox = jnp.asarray(
+        rng.integers(0, 2, (CLIP_FRAMES, SIZE, SIZE)).astype(np.float32))
+
+    fn = jax.jit(functools.partial(tsnet_forward_clip, mods, use_pallas=True))
+    log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
+    t0 = time.perf_counter()
+    rec = fn(params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox)
+    jax.block_until_ready(rec)
+    log(f"[bench] compile+first batch: {time.perf_counter() - t0:.1f}s")
+
+    # steady state
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rec = fn(params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox)
+    jax.block_until_ready(rec)
+    dt = (time.perf_counter() - t0) / iters
+    fps = CLIP_FRAMES / dt
+    log(f"[bench] ours: {dt * 1e3:.1f} ms / {CLIP_FRAMES} frames "
+        f"= {fps:.2f} frames/sec/chip")
+    return fps
+
+
+def measure_torch_reference() -> dict:
+    """Per-frame reference-style inference with torch on this host."""
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class Block(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3),
+                nn.InstanceNorm2d(dim), nn.ReLU(True),
+                nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3),
+                nn.InstanceNorm2d(dim))
+
+        def forward(self, x):
+            return x + self.net(x)
+
+    def encoder(in_ch, nb):
+        layers = [nn.ReflectionPad2d(3), nn.Conv2d(in_ch, 64, 7),
+                  nn.InstanceNorm2d(64), nn.ReLU(True)]
+        ch = 64
+        for _ in range(3):
+            layers += [nn.Conv2d(ch, ch * 2, 3, 2, 1),
+                       nn.InstanceNorm2d(ch * 2), nn.ReLU(True)]
+            ch *= 2
+        layers += [Block(ch) for _ in range(nb)]
+        return nn.Sequential(*layers)
+
+    def decoder(nb):
+        layers = [nn.Conv2d(1024, 512, 1)]
+        layers += [Block(512) for _ in range(nb)]
+        ch = 512
+        for _ in range(3):
+            layers += [nn.Upsample(scale_factor=2, mode="bilinear"),
+                       nn.ReflectionPad2d(1), nn.Conv2d(ch, ch // 2, 3),
+                       nn.InstanceNorm2d(ch // 2), nn.ReLU(True)]
+            ch //= 2
+        layers += [nn.ReflectionPad2d(3), nn.Conv2d(64, 3, 7), nn.Tanh()]
+        return nn.Sequential(*layers)
+
+    img_enc = encoder(3 + LABEL_NC + 3, 9).eval()
+    lbl_enc = encoder(LABEL_NC + 3, 0).eval()
+    dec = decoder(4).eval()
+    fuse = nn.Sequential(Block(1024), nn.Conv2d(1024, 512, 1)).eval()
+
+    rng = np.random.default_rng(0)
+    src = torch.from_numpy(
+        rng.random((N_SOURCE, 3 + LABEL_NC + 3, SIZE, SIZE), np.float32))
+    tar = torch.from_numpy(
+        rng.random((1, LABEL_NC + 3, SIZE, SIZE), np.float32))
+    grid_lin = torch.linspace(-1, 1, 32)
+    gy, gx = torch.meshgrid(grid_lin, grid_lin, indexing="ij")
+    grid = torch.stack([gx, gy], -1).reshape(1, 32 * 32, 2)
+
+    def per_frame():
+        # the reference demo loop re-encodes every source each frame
+        # (demo/demo_face.py:185-192)
+        feas = [img_enc(src[i:i + 1]) for i in range(N_SOURCE)]
+        tfe = lbl_enc(tar)
+        b, c, h, w = tfe.shape
+        tn = F.normalize(tfe, dim=1).view(b, c, h * w).transpose(1, 2)
+        warped = []
+        for fea in feas:
+            sn = F.normalize(fea, dim=1).view(b, c, h * w)
+            sim = torch.bmm(tn, sn)
+            attn = F.softmax(100 * sim, dim=2)
+            flow = torch.matmul(attn, grid).view(b, h, w, 2)
+            warped.append(F.grid_sample(fea, flow, align_corners=False))
+        prop = torch.stack(warped, 1).mean(1)
+        syn = torch.stack([fuse(torch.cat([f, tfe], 1)) for f in feas],
+                          1).mean(1)
+        return dec(torch.cat([prop, syn], 1))
+
+    with torch.no_grad():
+        per_frame()  # warmup
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            per_frame()
+        dt = (time.perf_counter() - t0) / iters
+    fps = 1.0 / dt
+    log(f"[bench] torch reference ({dt * 1e3:.0f} ms/frame) = "
+        f"{fps:.2f} frames/sec on CPU")
+    return {"frames_per_sec": fps, "device": "cpu",
+            "torch_threads": torch.get_num_threads(),
+            "note": "reference-style per-frame loop, torch CPU "
+                    "(no GPU in this image; reference repo publishes no "
+                    "numbers)"}
+
+
+def get_baseline() -> dict:
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            return json.load(f)
+    record = measure_torch_reference()
+    try:
+        with open(CACHE, "w") as f:
+            json.dump(record, f, indent=2)
+    except OSError:
+        pass
+    return record
+
+
+def main():
+    baseline = get_baseline()
+    fps = measure_ours()
+    print(json.dumps({
+        "metric": "face retargeting streaming inference, 256x256, "
+                  "n_source=3, 1 chip",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / baseline["frames_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

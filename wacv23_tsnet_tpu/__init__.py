@@ -32,3 +32,21 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: the shipped model compiles in tens of
+# seconds; caching makes every CLI/test process after the first start
+# fast. Disable with TSNET_COMPILATION_CACHE=0.
+import os as _os
+
+if _os.environ.get("TSNET_COMPILATION_CACHE", "1") != "0":
+    try:
+        import jax as _jax
+
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("TSNET_CACHE_DIR",
+                            _os.path.expanduser("~/.cache/tsnet_jax")))
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

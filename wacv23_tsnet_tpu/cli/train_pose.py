@@ -1,0 +1,117 @@
+"""Train the pose-variant TS-Net on Youtube-dance-style data
+(reference train_pose.py): 25 label classes, face-crop discriminator,
+foreground-mask compositing, frame interval 4, batch 10.
+
+    python -m wacv23_tsnet_tpu.cli.train_pose \
+        --json-path video_dict.json --label-path openpose/ \
+        --image-path frames/ --root-dir runs/pose
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import math
+import os
+import random
+import sys
+
+import numpy as np
+
+from ..configs import TrainConfig, pose_config
+from ..data.datasets import PoseDatasetTrain
+from ..data.loader import Loader
+from ..models.api import TSNet
+from ..train.checkpoint import restore_checkpoint
+from ..train.loop import run_training
+from ..utils import Logger
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--json-path", required=True)
+    p.add_argument("--label-path", required=True)
+    p.add_argument("--image-path", required=True)
+    p.add_argument("--root-dir", default="runs/pose")
+    p.add_argument("--batch-size", type=int, default=10)
+    p.add_argument("--learning-rate", type=float, default=2e-4)
+    p.add_argument("--n-source", type=int, default=3)
+    p.add_argument("--n-frame-total", type=int, default=10)
+    p.add_argument("--n-blocks", type=int, default=4)
+    p.add_argument("--n-downsampling", type=int, default=3)
+    p.add_argument("--interval", type=int, default=4)
+    p.add_argument("--initial-epoch", type=int, default=400)
+    p.add_argument("--max-epoch", type=int, default=900)
+    p.add_argument("--num-videos", type=int, default=100)
+    p.add_argument("--lambda-dec", type=float, default=1.0)
+    p.add_argument("--basic-point-only", action="store_true")
+    p.add_argument("--remove-face-labels", action="store_true")
+    p.add_argument("--no-jitter", action="store_true")
+    p.add_argument("--no-mirror", action="store_true")
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--random-seed", type=int, default=1234)
+    p.add_argument("--restore-from", default="")
+    p.add_argument("--set-start", action="store_true")
+    p.add_argument("--start-step", type=int, default=0)
+    p.add_argument("--final-step", type=int, default=None)
+    p.add_argument("--print-freq", type=int, default=100)
+    p.add_argument("--save-pred-every", type=int, default=None)
+    args = p.parse_args(argv)
+
+    random.seed(args.random_seed)
+    np.random.seed(args.random_seed)
+
+    label_nc = 19 if (args.basic_point_only and args.remove_face_labels) else 25
+    cfg = dataclasses.replace(pose_config(), n_source=args.n_source,
+                              dec_n_blocks=args.n_blocks,
+                              n_downsampling=args.n_downsampling,
+                              label_nc=label_nc)
+    tcfg = TrainConfig(batch_size=args.batch_size, lr=args.learning_rate,
+                       lambda_dec=args.lambda_dec,
+                       initial_epoch=args.initial_epoch,
+                       max_epoch=args.max_epoch,
+                       n_frame_total=args.n_frame_total,
+                       num_videos=args.num_videos,
+                       frame_interval=args.interval,
+                       seed=args.random_seed,
+                       print_freq=args.print_freq)
+
+    snapshot_dir = os.path.join(args.root_dir, "snapshots")
+    os.makedirs(snapshot_dir, exist_ok=True)
+    sys.stdout = Logger(os.path.join(
+        snapshot_dir, f"B{args.batch_size:04d}E{args.max_epoch:04d}.log"))
+
+    steps_per_epoch = math.ceil(tcfg.num_examples_per_epoch
+                                / float(args.batch_size))
+    final_step = args.final_step or steps_per_epoch * args.max_epoch
+    save_every = args.save_pred_every or max(
+        1, steps_per_epoch * (args.max_epoch // 10))
+
+    model = TSNet(cfg, lr=args.learning_rate, is_train=True,
+                  lambda_dec=args.lambda_dec, seed=args.random_seed)
+    start_step = args.start_step
+    if args.restore_from and os.path.isfile(args.restore_from):
+        model.state = restore_checkpoint(args.restore_from, model.state)
+        if args.set_start:
+            start_step = int(model.state.step)
+        print(f"=> restored {args.restore_from} at step {start_step}")
+
+    dataset = PoseDatasetTrain(
+        json_path=args.json_path, label_path=args.label_path,
+        image_path=args.image_path, mean=cfg.img_mean_array(),
+        n_frame_total=args.n_frame_total,
+        is_jitter=not args.no_jitter, is_mirror=not args.no_mirror,
+        basic_point_only=args.basic_point_only,
+        remove_face_labels=args.remove_face_labels,
+        interval=args.interval, rng=random.Random(args.random_seed))
+    loader = Loader(dataset, batch_size=args.batch_size, shuffle=True,
+                    num_workers=args.num_workers, seed=args.random_seed)
+
+    run_training(model, loader, cfg, tcfg, final_step=final_step,
+                 start_step=start_step, snapshot_dir=snapshot_dir,
+                 imgshot_dir=os.path.join(args.root_dir, "imgshots"),
+                 save_every=save_every, n_source=args.n_source)
+
+
+if __name__ == "__main__":
+    main()

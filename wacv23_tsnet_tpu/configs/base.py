@@ -53,6 +53,10 @@ class TSNetConfig:
 
     # numerics
     compute_dtype: str = "float32"   # "bfloat16" for the fast path
+    # conv/matmul MXU precision for fp32 activations: "highest" (6-pass,
+    # bit-parity with torch), "high" (3-pass), "default" (1 bf16 pass).
+    # The similarity branch always runs fp32-highest regardless.
+    precision: str = "highest"
     # BGR channel means in [0,255]; images cross the data boundary
     # mean-subtracted (dataset_video_face.py:136-139) and are divided by 255
     # on model ingest (TSNet.py:268,279).

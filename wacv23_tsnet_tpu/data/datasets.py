@@ -430,9 +430,9 @@ class PoseDatasetTest:
             src["names"].append(frame)
 
         # ---- driving clip (pre-smoothed keypoints + retarget) -----------
-        with open(os.path.join(self.smooth_lbl_pth,
-                               "%05d.json" % int(vid2))) as f:
-            smooth = json.load(f)
+        from .smoothing import load_json_tricks
+        smooth = load_json_tricks(os.path.join(
+            self.smooth_lbl_pth, "%05d.json" % int(vid2)))
         tar_frames = self.video_dict[vid2][:self.n_frame_total]
         tar = {"img": [], "lbl": [], "bbox": [], "names": []}
         tcoords = None

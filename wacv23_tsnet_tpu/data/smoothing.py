@@ -11,7 +11,31 @@ Two smoothers used by the reference:
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
+
+
+def load_json_tricks(path: str) -> dict:
+    """Read a json_tricks-encoded file (ndarrays as {"__ndarray__": ...}).
+
+    The reference's offline smoother writes its smooth_openpose/*.json
+    with json_tricks (dataset/smooth_pose_keypoint.py); this decodes the
+    ndarray wrapper without the dependency.
+    """
+
+    def decode(obj):
+        if isinstance(obj, dict):
+            if "__ndarray__" in obj:
+                return np.asarray(obj["__ndarray__"],
+                                  dtype=obj.get("dtype", "float64"))
+            return {k: decode(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [decode(v) for v in obj]
+        return obj
+
+    with open(path) as f:
+        return decode(json.load(f))
 
 
 def smooth_keypoint_track(track: np.ndarray, win: int = 5) -> np.ndarray:
@@ -43,9 +67,17 @@ def smooth_valid_track(track: np.ndarray) -> np.ndarray:
     A point is valid when neither coordinate is zero (the convention of
     `valid_keypoints`). Window sums are normalized by the VALID count in
     the window; windows with no valid samples fall back to the original
-    point, invalid frames are reset to (0, 0), and the boundary scheme
-    is the same asymmetric one as `smooth_keypoint_track`
-    (reference smooth_points, dataset/smooth_pose_keypoint.py:86-117).
+    point, and the boundary scheme is the same asymmetric one as
+    `smooth_keypoint_track` (reference smooth_points,
+    dataset/smooth_pose_keypoint.py:86-117).
+
+    Reference quirk reproduced deliberately: the reference's final
+    "reset invalid point to be (0, 0)" line indexes with
+    `cur_pt_valid == 0` where `cur_pt_valid` is a Python LIST, which
+    evaluates to the scalar `False` — an empty selection, so the reset
+    never happens and invalid frames keep their window averages
+    (smooth_pose_keypoint.py:113-114). Downstream consumers were trained
+    against that behavior, so we match it.
     """
     track = np.asarray(track, np.float64)
     t, k, _ = track.shape
@@ -67,7 +99,6 @@ def smooth_valid_track(track: np.ndarray) -> np.ndarray:
         n = vcs[t - 1] - vcs[t - 4]
         new[t - 2] = (cs[t - 1] - cs[t - 4]) / n if n else seq[t - 2]
         new[t - 1] = seq[t - 1]
-        new[valid == 0] = 0.0
         out[:, ki, :] = new
     return out
 

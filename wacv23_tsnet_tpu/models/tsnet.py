@@ -38,19 +38,24 @@ class TSNetModules:
         dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         self.dtype = dt
         feat = cfg.feat_ch
+        prec = cfg.precision
         self.img_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=cfg.enc_n_blocks,
-                               addcoords=cfg.addcoords, dtype=dt)
+                               addcoords=cfg.addcoords, dtype=dt,
+                               precision=prec)
         self.lbl_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
-                               n_blocks=0, addcoords=cfg.addcoords, dtype=dt)
+                               n_blocks=0, addcoords=cfg.addcoords, dtype=dt,
+                               precision=prec)
         self.dec = Decoder(output_nc=3, ngf=cfg.ngf,
                            n_downsampling=cfg.n_downsampling,
-                           n_blocks=cfg.dec_n_blocks, dtype=dt)
-        self.fuse_net = FuseNet(ngf=2 * feat, n_blocks=1, dtype=dt)
+                           n_blocks=cfg.dec_n_blocks, dtype=dt,
+                           precision=prec)
+        self.fuse_net = FuseNet(ngf=2 * feat, n_blocks=1, dtype=dt,
+                                precision=prec)
         self.netD = PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
-                                       dtype=dt)
+                                       dtype=dt, precision=prec)
         self.netDF = (PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
-                                         dtype=dt)
+                                         dtype=dt, precision=prec)
                       if cfg.use_face_d else None)
 
     def init_generator_params(self, rng: jax.Array) -> dict:

@@ -24,11 +24,32 @@ Two implementations behind one signature:
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 
 from .coords import normalized_grid
 from .grid_sample import grid_sample
+
+# Sequence-parallel hook: when set (by parallel.spmd), the (B, T, S)
+# attention logits are sharding-constrained over the target-pixel axis T,
+# so GSPMD partitions the quadratic similarity across the `model` mesh
+# axis — the TPU analog of sequence/context parallelism (SURVEY.md §5).
+_SPATIAL_SHARDING: contextvars.ContextVar = contextvars.ContextVar(
+    "tsnet_spatial_sharding", default=None)
+
+
+@contextlib.contextmanager
+def spatial_partitioning(sharding):
+    """Context: shard attention logits with `sharding` (a NamedSharding
+    whose spec partitions axis 1, e.g. P(None, 'model', None))."""
+    token = _SPATIAL_SHARDING.set(sharding)
+    try:
+        yield
+    finally:
+        _SPATIAL_SHARDING.reset(token)
 
 
 def _mask_coeff(tar_mask: jnp.ndarray, src_mask: jnp.ndarray) -> jnp.ndarray:
@@ -70,6 +91,9 @@ def masked_attention_flow(
     logits = logits * _mask_coeff(
         tar_mask.astype(jnp.float32), src_mask.astype(jnp.float32)
     )
+    spatial_sharding = _SPATIAL_SHARDING.get()
+    if spatial_sharding is not None:
+        logits = jax.lax.with_sharding_constraint(logits, spatial_sharding)
     attn = jax.nn.softmax(temp * logits, axis=-1)
     return jnp.einsum(
         "bts,sd->btd", attn, grid.astype(jnp.float32),

@@ -1,0 +1,116 @@
+"""The shared GAN training loop (reference train_face.py:221-380).
+
+Clip semantics preserved exactly: each loaded batch is a (B, T)-frame
+clip; the first `n_source` frames are the shared sources and frames
+n_source..T-1 are successive targets, giving T - n_source optimizer
+steps per clip. The poly LR advances per optimizer step scaled by batch
+size (examples seen), and checkpoints/image snapshots fire on the same
+counters as the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..configs import TrainConfig, TSNetConfig
+from ..data.codecs import labels_to_onehot
+from ..infer.pipeline import montage_row, to_display_rgb
+from ..models.api import TSNet
+from ..utils import AverageMeter, StepTimer
+from .checkpoint import save_checkpoint
+
+
+def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
+                 final_step: int, start_step: int = 0,
+                 snapshot_dir: str = "snapshots",
+                 imgshot_dir: str = "imgshots",
+                 save_every: int = 1000,
+                 n_source: int = 3) -> int:
+    os.makedirs(snapshot_dir, exist_ok=True)
+    os.makedirs(imgshot_dir, exist_ok=True)
+    meters = {name: AverageMeter() for name in model.loss_names}
+    timer = StepTimer()
+    mean = cfg.img_mean_array()
+    actual_step = start_step
+    t0 = time.time()
+
+    while actual_step < final_step:
+        for batch in loader:
+            timer.mark_data()
+            imgs = batch["img"]          # (B, T, 3, H, W)
+            lbls = batch["lbl"]          # (B, T, H, W)
+            boxes = batch["bbox"]        # (B, T, H, W)
+            bsz, n_total = imgs.shape[:2]
+
+            src_imgs = [imgs[:, i] + mean.reshape(1, 3, 1, 1)
+                        for i in range(n_source)]
+            src_lbls = [labels_to_onehot(lbls[:, i], cfg.task)
+                        for i in range(n_source)]
+            src_boxes = [boxes[:, i].astype(np.float32)
+                         for i in range(n_source)]
+
+            for frame_iter in range(n_source, n_total):
+                if actual_step >= final_step:
+                    break
+                model.setup(actual_step, tcfg.batch_size, tcfg.initial_iter,
+                            tcfg.max_iter, tcfg.power)
+                tar_img = imgs[:, frame_iter] + mean.reshape(1, 3, 1, 1)
+                tar_lbl = labels_to_onehot(lbls[:, frame_iter], cfg.task)
+                tar_bbox = boxes[:, frame_iter].astype(np.float32)
+                model.set_train_input(src_imgs, src_lbls, src_boxes,
+                                      tar_img, tar_lbl, tar_bbox)
+                model.optimize_parameters()
+                actual_step += 1
+
+                for name, value in model.get_current_losses().items():
+                    meters[name].update(value, bsz)
+
+                if actual_step % tcfg.print_freq == 0:
+                    losses = " ".join(
+                        f"{k}={m.avg:.3f}" for k, m in meters.items())
+                    print(f"step {actual_step}/{final_step} "
+                          f"({time.time() - t0:.0f}s) {losses}")
+                    model.print_learning_rate()
+
+                if actual_step % tcfg.save_img_freq == 0:
+                    _save_imgshot(model, imgs, lbls, frame_iter, mean,
+                                  imgshot_dir, actual_step, cfg)
+
+                if actual_step % save_every == 0:
+                    path = os.path.join(
+                        snapshot_dir, f"TSNet_S{actual_step:06d}.msgpack")
+                    save_checkpoint(path, model.state)
+                    print(f"saved snapshot {path}")
+            timer.mark_batch()
+            if actual_step >= final_step:
+                break
+
+    path = os.path.join(snapshot_dir, f"TSNet_S{actual_step:06d}.msgpack")
+    save_checkpoint(path, model.state)
+    print(f"final snapshot {path}; "
+          f"avg batch {timer.batch.avg:.3f}s data {timer.data.avg:.3f}s")
+    return actual_step
+
+
+def _save_imgshot(model, imgs, lbls, frame_iter, mean, imgshot_dir,
+                  step, cfg):
+    """source | target | reconstruction | warp preview montage."""
+    from ..data.codecs import labels_to_image
+
+    rec = model.rec_tar_img[0] / 1.0
+    row = [
+        to_display_rgb(imgs[0, 0], mean),
+        labels_to_image(lbls[0, frame_iter], cfg.task)
+        if cfg.task == "pose" else
+        np.repeat(labels_to_image(lbls[0, frame_iter], "face")[..., None],
+                  3, axis=-1),
+        to_display_rgb(imgs[0, frame_iter], mean),
+        to_display_rgb(rec, mean),
+    ]
+    if model.warp_src_img_list:
+        row.append(to_display_rgb(model.warp_src_img_list[0][0], mean))
+    montage_row(row).save(
+        os.path.join(imgshot_dir, f"step_{step:06d}.png"))
