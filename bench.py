@@ -33,14 +33,20 @@ log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
 
 def measure_ours() -> float:
+    import dataclasses
+    import functools
+
     import jax
+    import jax.numpy as jnp
+
     from wacv23_tsnet_tpu.configs import face_config
     from wacv23_tsnet_tpu.models import TSNetModules
     from wacv23_tsnet_tpu.models.tsnet import tsnet_forward_clip
-    import functools
-    import jax.numpy as jnp
 
-    cfg = face_config()
+    # "high" MXU precision: measured 1.2e-3 mean L1 vs the bit-parity
+    # "highest" path — 8x inside the 0.01 parity budget — at 1.6x speed.
+    # ("default"/bf16 flip the temp-100 attention: 0.19 L1, rejected.)
+    cfg = dataclasses.replace(face_config(), precision="high")
     mods = TSNetModules(cfg)
     params = mods.init_generator_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
@@ -54,19 +60,23 @@ def measure_ours() -> float:
     tar_bbox = jnp.asarray(
         rng.integers(0, 2, (CLIP_FRAMES, SIZE, SIZE)).astype(np.float32))
 
-    fn = jax.jit(functools.partial(tsnet_forward_clip, mods, use_pallas=True))
+    # Reduce to a checksum on device: `block_until_ready` is unreliable
+    # through the axon relay and full-frame host transfers would time the
+    # relay, not the chip. float(checksum) forces complete execution with
+    # a 4-byte readback.
+    fwd = functools.partial(tsnet_forward_clip, mods, use_pallas=True)
+    fn = jax.jit(lambda p, *a: jnp.sum(jnp.abs(fwd(p, *a))))
+    args = (params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox)
     log(f"[bench] backend={jax.default_backend()} devices={jax.devices()}")
     t0 = time.perf_counter()
-    rec = fn(params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox)
-    jax.block_until_ready(rec)
-    log(f"[bench] compile+first batch: {time.perf_counter() - t0:.1f}s")
+    checksum = float(fn(*args))
+    log(f"[bench] compile+first batch: {time.perf_counter() - t0:.1f}s "
+        f"(checksum {checksum:.1f})")
 
-    # steady state
-    iters = 5
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        rec = fn(params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox)
-    jax.block_until_ready(rec)
+        float(fn(*args))
     dt = (time.perf_counter() - t0) / iters
     fps = CLIP_FRAMES / dt
     log(f"[bench] ours: {dt * 1e3:.1f} ms / {CLIP_FRAMES} frames "

@@ -7,6 +7,10 @@ from .torch_import import (
     generator_params_from_checkpoint,
     load_reference_checkpoint,
 )
+from .torch_export import (
+    reference_checkpoint,
+    save_reference_checkpoint,
+)
 
 __all__ = [
     "convert_conv_kernel",
@@ -16,4 +20,6 @@ __all__ = [
     "discriminator_params_from_torch",
     "generator_params_from_checkpoint",
     "load_reference_checkpoint",
+    "reference_checkpoint",
+    "save_reference_checkpoint",
 ]

@@ -34,6 +34,22 @@ class ClipInference:
         self._fn = jax.jit(functools.partial(
             tsnet_forward_clip, self.mods, use_pallas=use_pallas))
 
+        def _renorm_fn(params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox):
+            rec = tsnet_forward_clip(self.mods, params, src_img, src_lbl,
+                                     src_bbox, tar_lbl, tar_bbox,
+                                     use_pallas=use_pallas)
+            # per-frame renorm to the first reference's statistics ON
+            # DEVICE (reference demo/demo_face.py:178-198); torch-unbiased
+            # std. Avoids shipping unnormalized frames to the host.
+            ref = src_img[0]
+            ref_mean = jnp.mean(ref, axis=(0, 1))
+            ref_std = jnp.std(ref, axis=(0, 1), ddof=1)
+            gen_mean = jnp.mean(rec, axis=(1, 2), keepdims=True)
+            gen_std = jnp.std(rec, axis=(1, 2), keepdims=True, ddof=1)
+            return (rec - gen_mean) / gen_std * ref_std + ref_mean
+
+        self._renorm_fn = jax.jit(_renorm_fn)
+
     def prepare_sources(self, src_imgs, src_lbls, src_bboxes):
         """Stage (S,3,H,W) mean-subtracted images + class-map labels."""
         onehot = labels_to_onehot(src_lbls, self.cfg.task)
@@ -44,12 +60,8 @@ class ClipInference:
             jnp.asarray(src_bboxes, jnp.float32),
         )
 
-    def run(self, src_imgs, src_lbls, src_bboxes, tar_lbls, tar_bboxes):
-        """Run the whole driving clip; returns (F, 3, H, W) model-space rec.
-
-        Frames are processed in fixed `chunk`s (last chunk padded) so jit
-        compiles exactly one program regardless of clip length.
-        """
+    def _run_chunks(self, fn, src_imgs, src_lbls, src_bboxes, tar_lbls,
+                    tar_bboxes):
         src_img, src_lbl, src_bbox = self.prepare_sources(
             src_imgs, src_lbls, src_bboxes)
         onehot = labels_to_onehot(tar_lbls, self.cfg.task)
@@ -60,23 +72,27 @@ class ClipInference:
         outs = []
         for lo in range(0, f, self.chunk):
             idx = np.arange(lo, lo + self.chunk) % f   # pad by wrapping
-            rec = self._fn(self.params, src_img, src_lbl, src_bbox,
-                           tar_lbl[idx], tar_bbox[idx])
+            rec = fn(self.params, src_img, src_lbl, src_bbox,
+                     tar_lbl[idx], tar_bbox[idx])
             outs.append(np.asarray(rec[: min(self.chunk, f - lo)]))
         rec = np.concatenate(outs, axis=0)
         return rec.transpose(0, 3, 1, 2)
 
+    def run(self, src_imgs, src_lbls, src_bboxes, tar_lbls, tar_bboxes):
+        """Run the whole driving clip; returns (F, 3, H, W) model-space rec.
+
+        Frames are processed in fixed `chunk`s (last chunk padded) so jit
+        compiles exactly one program regardless of clip length.
+        """
+        return self._run_chunks(self._fn, src_imgs, src_lbls, src_bboxes,
+                                tar_lbls, tar_bboxes)
+
     def run_renormalized(self, src_imgs, src_lbls, src_bboxes, tar_lbls,
                          tar_bboxes):
-        """`run` + per-frame renorm to the first reference's mean/std
-        (reference demo/demo_face.py:178-198)."""
-        rec = self.run(src_imgs, src_lbls, src_bboxes, tar_lbls, tar_bboxes)
-        ref = np.asarray(src_imgs[0], np.float32) / 255.0   # (3, H, W)
-        ref_mean = ref.reshape(3, -1).mean(axis=1).reshape(1, 3, 1, 1)
-        ref_std = ref.reshape(3, -1).std(axis=1, ddof=1).reshape(1, 3, 1, 1)
-        gen_mean = rec.reshape(rec.shape[0], 3, -1).mean(axis=2)[..., None, None]
-        gen_std = rec.reshape(rec.shape[0], 3, -1).std(axis=2, ddof=1)[..., None, None]
-        return (rec - gen_mean) / gen_std * ref_std + ref_mean
+        """`run` + on-device per-frame renorm to the first reference's
+        mean/std (reference demo/demo_face.py:178-198)."""
+        return self._run_chunks(self._renorm_fn, src_imgs, src_lbls,
+                                src_bboxes, tar_lbls, tar_bboxes)
 
 
 def to_display_rgb(img_chw: np.ndarray, mean) -> np.ndarray:

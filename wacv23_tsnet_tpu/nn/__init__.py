@@ -2,7 +2,9 @@ from .blocks import ResnetBlock, reflect_pad, conv_init
 from .encoder import Encoder
 from .decoder import Decoder
 from .fusenet import FuseNet
-from .discriminator import PatchDiscriminator
+from .discriminator import (PatchDiscriminator, PixelDiscriminator,
+                            VideoDiscriminator, define_D)
+from .generators import ResnetGenerator, UnetGenerator, define_G
 from .vgg import VGG19Features, load_vgg19_params
 
 __all__ = [
@@ -13,6 +15,12 @@ __all__ = [
     "Decoder",
     "FuseNet",
     "PatchDiscriminator",
+    "PixelDiscriminator",
+    "VideoDiscriminator",
+    "define_D",
+    "ResnetGenerator",
+    "UnetGenerator",
+    "define_G",
     "VGG19Features",
     "load_vgg19_params",
 ]
