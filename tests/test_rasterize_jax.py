@@ -1,0 +1,95 @@
+"""On-device rasterizer: agreement with the CPU oracle tier."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+REF = "/root/reference"
+needs_reference = pytest.mark.skipif(not os.path.isdir(REF),
+                                     reason="reference mount not present")
+
+from wacv23_tsnet_tpu.data import rasterize as ras                 # noqa: E402
+from wacv23_tsnet_tpu.data.codecs import image_to_labels           # noqa: E402
+from wacv23_tsnet_tpu.data.face import render_face_edges           # noqa: E402
+from wacv23_tsnet_tpu.data.rasterize_jax import (rasterize_face_clip,  # noqa: E402
+                                                 rasterize_pose_clip)
+
+RNG = np.random.default_rng(9)
+
+
+@needs_reference
+def test_pose_jax_rasterizer_agrees_with_cpu_tier():
+    json_dir = os.path.join(REF, "demo/dance_example/labels/00110")
+    files = sorted(os.listdir(json_dir))[:3]
+    h = w = 256
+
+    poses, faces, hls, hrs, pbws, hbws, cpu_maps = [], [], [], [], [], [], []
+    for jf in files:
+        people = ras.parse_openpose_json(os.path.join(json_dir, jf))
+        p = people[0]
+        pose = ras.valid_keypoints(p["pose"])
+        face = ras.valid_keypoints(p["face"])
+        hl = ras.valid_keypoints(p["hand_l"])
+        hr = ras.valid_keypoints(p["hand_r"])
+        # normalize the person INTO the 256^2 canvas: at borders the CPU
+        # tier clamps strokes to the edge (reference draw_edge clipping),
+        # a behavior the distance-based device tier intentionally omits
+        valid_xy = pose[np.all(pose != 0, axis=1)]
+        lo = valid_xy.min(axis=0) - 40
+        scale = 200.0 / (valid_xy - lo).max()
+        for arr in (pose, face, hl, hr):
+            nz = np.all(arr != 0, axis=1)
+            arr[nz] = (arr[nz] - lo) * scale + 16.0
+        y_extent = int(pose[:, 1].max() - pose[:, 1].min())
+        pbw, hbw = max(1, y_extent // 150), max(1, y_extent // 450)
+        img = ras.render_person(pose, face, hl, hr, (w, h), train=False)
+        cpu_maps.append(image_to_labels(img, "pose"))
+        poses.append(pose)
+        faces.append(face)
+        hls.append(hl)
+        hrs.append(hr)
+        pbws.append(pbw)
+        hbws.append(hbw)
+
+    got = np.asarray(rasterize_pose_clip(
+        jnp.asarray(np.stack(poses), jnp.float32),
+        jnp.asarray(np.stack(faces), jnp.float32),
+        jnp.asarray(np.stack(hls), jnp.float32),
+        jnp.asarray(np.stack(hrs), jnp.float32),
+        jnp.asarray(np.asarray(pbws), jnp.float32),
+        jnp.asarray(np.asarray(hbws), jnp.float32),
+        h=h, w=w))
+
+    for gi, ci in zip(got, cpu_maps):
+        assert gi.sum() > 0
+        # strokes differ (curves vs segments, square vs round brush) but
+        # backgrounds and label classes must agree almost everywhere
+        agreement = (gi == ci).mean()
+        assert agreement > 0.97, agreement
+        # same set of limb classes present
+        assert set(np.unique(gi)) == set(np.unique(ci))
+
+
+@needs_reference
+def test_face_jax_rasterizer_agrees_with_cpu_tier():
+    lbl_path = os.path.join(DEMO := os.path.join(
+        REF, "demo/face_examples/labels/val024"),
+        sorted(os.listdir(os.path.join(
+            REF, "demo/face_examples/labels/val024")))[0])
+    kp = np.loadtxt(lbl_path, delimiter=",")
+    # normalize landmarks into the canvas
+    lo = kp.min(axis=0) - 10
+    kp = (kp - lo) * (200.0 / (kp - lo).max()) + 16.0
+
+    cpu = (render_face_edges(kp, (256, 256), bw=2) > 0).astype(np.int32)
+    got = np.asarray(rasterize_face_clip(
+        jnp.asarray(kp[None], jnp.float32), jnp.asarray([2.0]),
+        h=256, w=256))[0]
+    assert got.sum() > 0
+    inter = ((got > 0) & (cpu > 0)).sum()
+    union = ((got > 0) | (cpu > 0)).sum()
+    assert inter / union > 0.6          # stroke-level overlap
+    assert (got == cpu).mean() > 0.97   # pixel agreement incl. background

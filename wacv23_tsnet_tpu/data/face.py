@@ -18,7 +18,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from .rasterize import interp_curve, stamp_edge
+from .rasterize import draw_edge, interp_curve, stamp_edge
 
 # 68-landmark part edges (includes the tongue/inner-mouth ring the
 # 70-point OpenPose face list omits; reference part_list :33-41)
@@ -56,8 +56,8 @@ def render_face_edges(keypoints: np.ndarray, size, bw: int = 1) -> np.ndarray:
         for edge in part:
             for i in range(0, max(1, len(edge) - 1), edge_len - 1):
                 sub = np.asarray(edge[i:i + edge_len])
-                cx, cy = interp_curve(keypoints[sub, 0], keypoints[sub, 1])
-                stamp_edge(img, cx, cy, bw=bw, color=(255, 255, 255))
+                draw_edge(img, keypoints[sub, 0], keypoints[sub, 1],
+                          bw=bw, color=(255, 255, 255))
     return img
 
 

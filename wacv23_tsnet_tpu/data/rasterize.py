@@ -150,6 +150,22 @@ def stamp_edge(img: np.ndarray, curve_x, curve_y, bw: int = 1,
             img[yy, xx] = color if img.ndim == 3 else color[0]
 
 
+def draw_edge(img: np.ndarray, x, y, bw: int = 1, color=(255, 255, 255),
+              endpoints: bool = False) -> None:
+    """Fit + stamp one keypoint edge, native C++ fast path when built.
+
+    Semantics identical to interp_curve + stamp_edge (the native library
+    implements the same LSQ fit / casts / clamping; parity-tested in
+    tests/test_native.py).
+    """
+    from ..native import native_draw_edge
+
+    if native_draw_edge(img, x, y, bw, color, endpoints):
+        return
+    cx, cy = interp_curve(x, y)
+    stamp_edge(img, cx, cy, bw=bw, color=color, endpoints=endpoints)
+
+
 # ---------------------------------------------------------------------------
 # keypoint extraction + full-person rendering
 # ---------------------------------------------------------------------------
@@ -223,8 +239,7 @@ def render_person(pose, face, hand_l, hand_r, size, train: bool,
         x = pose[[a, b], 0]
         y = pose[[a, b], 1]
         if 0 not in x:
-            cx, cy = interp_curve(x, y)
-            stamp_edge(img, cx, cy, bw=bw, color=color, endpoints=True)
+            draw_edge(img, x, y, bw=bw, color=color, endpoints=True)
 
     if not basic_point_only:
         bw = rng.randrange(1, 3) if train else max(1, y_extent // 450)
@@ -234,8 +249,7 @@ def render_person(pose, face, hand_l, hand_r, size, train: bool,
                     x = hand[[finger[j], finger[j + 1]], 0]
                     y = hand[[finger[j], finger[j + 1]], 1]
                     if 0 not in x:
-                        cx, cy = interp_curve(x, y)
-                        stamp_edge(img, cx, cy, bw=bw, color=color)
+                        draw_edge(img, x, y, bw=bw, color=color)
 
         if not remove_face_labels:
             bw = rng.randrange(1, 3) if train else max(1, y_extent // 450)
@@ -246,8 +260,7 @@ def render_person(pose, face, hand_l, hand_r, size, train: bool,
                         x = face[np.asarray(sub), 0]
                         y = face[np.asarray(sub), 1]
                         if 0 not in x:
-                            cx, cy = interp_curve(x, y)
-                            stamp_edge(img, cx, cy, bw=bw)
+                            draw_edge(img, x, y, bw=bw)
     return img
 
 
