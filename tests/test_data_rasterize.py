@@ -165,6 +165,28 @@ def test_retarget_pose_matches_reference_read_pts_posenorm():
             np.testing.assert_allclose(got["hand_r"], want_pts[3], atol=1e-6)
 
 
+@needs_reference
+def test_smooth_keypoints_cli_reproduces_shipped_files():
+    """The offline smoother reproduces the reference's committed
+    smooth_openpose/00164.json bit-exactly."""
+    import json
+
+    from wacv23_tsnet_tpu.cli.smooth_keypoints import smooth_video
+    from wacv23_tsnet_tpu.data.smoothing import load_json_tricks
+
+    with open(os.path.join(
+            REF, "dataset/json_pose/clean_unseen_video_dict.json")) as f:
+        frames = json.load(f)["164"]
+    mine = smooth_video(os.path.join(REF, "demo/dance_example/labels/00164"),
+                        frames, 30)
+    shipped = load_json_tricks(os.path.join(
+        REF, "dataset/json_pose/smooth_openpose/00164.json"))
+    for key in ("pose_keypoints_2d", "face_keypoints_2d",
+                "hand_left_keypoints_2d", "hand_right_keypoints_2d"):
+        np.testing.assert_array_equal(
+            np.asarray(mine[key]["__ndarray__"]), np.asarray(shipped[key]))
+
+
 def test_face_retarget_identity_invariance():
     """Retargeting a clip onto its own statistics is ~identity."""
     from wacv23_tsnet_tpu.data.face import FaceRetargeter

@@ -36,11 +36,18 @@ def main(argv=None):
     p.add_argument("--n-source", type=int, default=3)
     p.add_argument("--max-frames", type=int, default=30)
     p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--precision", default="high",
+                   choices=["highest", "high", "default"],
+                   help="MXU precision (high: 1.2e-3 L1 drift, 1.6x faster)")
+    p.add_argument("--fast-tail", action="store_true",
+                   help="bf16 fuse+decoder tail (extra speed, small drift)")
     p.add_argument("--seed", type=int, default=1234)
     args = p.parse_args(argv)
 
     random.seed(args.seed)
-    cfg = pose_config()
+    import dataclasses
+    cfg = dataclasses.replace(pose_config(), precision=args.precision,
+                              fast_tail=args.fast_tail)
     params = load_params(args.restore_from, cfg)
 
     dataset = PoseDatasetTest(

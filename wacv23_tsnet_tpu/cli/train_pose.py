@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--no-jitter", action="store_true")
     p.add_argument("--no-mirror", action="store_true")
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--precision", default="highest",
+                   choices=["highest", "high", "default"],
+                   help="MXU precision (highest = torch bit-parity)")
     p.add_argument("--random-seed", type=int, default=1234)
     p.add_argument("--restore-from", default="")
     p.add_argument("--set-start", action="store_true")
@@ -65,7 +68,7 @@ def main(argv=None):
     cfg = dataclasses.replace(pose_config(), n_source=args.n_source,
                               dec_n_blocks=args.n_blocks,
                               n_downsampling=args.n_downsampling,
-                              label_nc=label_nc)
+                              label_nc=label_nc, precision=args.precision)
     tcfg = TrainConfig(batch_size=args.batch_size, lr=args.learning_rate,
                        lambda_dec=args.lambda_dec,
                        initial_epoch=args.initial_epoch,

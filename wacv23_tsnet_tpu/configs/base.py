@@ -57,6 +57,10 @@ class TSNetConfig:
     # bit-parity with torch), "high" (3-pass), "default" (1 bf16 pass).
     # The similarity branch always runs fp32-highest regardless.
     precision: str = "highest"
+    # fast tail: run fuse_net + decoder in bfloat16. Their outputs never
+    # feed the temp-100 attention (only the encoders do), so tail
+    # precision trades a small output drift for the bulk of the FLOPs.
+    fast_tail: bool = False
     # BGR channel means in [0,255]; images cross the data boundary
     # mean-subtracted (dataset_video_face.py:136-139) and are divided by 255
     # on model ingest (TSNet.py:268,279).

@@ -46,12 +46,14 @@ class TSNetModules:
         self.lbl_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=0, addcoords=cfg.addcoords, dtype=dt,
                                precision=prec)
+        tail_dt = jnp.bfloat16 if cfg.fast_tail else dt
+        tail_prec = "default" if cfg.fast_tail else prec
         self.dec = Decoder(output_nc=3, ngf=cfg.ngf,
                            n_downsampling=cfg.n_downsampling,
-                           n_blocks=cfg.dec_n_blocks, dtype=dt,
-                           precision=prec)
-        self.fuse_net = FuseNet(ngf=2 * feat, n_blocks=1, dtype=dt,
-                                precision=prec)
+                           n_blocks=cfg.dec_n_blocks, dtype=tail_dt,
+                           precision=tail_prec)
+        self.fuse_net = FuseNet(ngf=2 * feat, n_blocks=1, dtype=tail_dt,
+                                precision=tail_prec)
         self.netD = PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
                                        dtype=dt, precision=prec)
         self.netDF = (PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
@@ -146,10 +148,12 @@ def crop_faces(images: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
         yc, xc, ln = get_face_bbox(lbl, h, w)
         ys = (yc - ln // 2).astype(jnp.float32)
         xs = (xc - ln // 2).astype(jnp.float32)
-        # align_corners=True sampling of a length-ln crop to face_size
+        # the reference crop is [c - l//2 : c + l//2], i.e. 2*(l//2) rows;
+        # align_corners=True samples that span at (L-1)/(face_size-1) steps
+        span = (2 * (ln // 2)).astype(jnp.float32) - 1.0
         t = jnp.arange(face_size, dtype=jnp.float32) / (face_size - 1)
-        ys_pos = ys + t * (ln.astype(jnp.float32) - 1.0)
-        xs_pos = xs + t * (ln.astype(jnp.float32) - 1.0)
+        ys_pos = ys + t * span
+        xs_pos = xs + t * span
         return _sample_separable(img[None], ys_pos, xs_pos)[0]
 
     return jax.vmap(one)(images, labels)

@@ -35,6 +35,20 @@ def restore_checkpoint(path: str, template: T) -> T:
         return serialization.from_bytes(template, f.read())
 
 
+def find_latest_checkpoint(snapshot_dir: str,
+                           prefix: str = "TSNet_S") -> str | None:
+    """Most recent snapshot in a directory, for crash auto-resume.
+
+    (Reference recovery is a manual --restore-from + --set-start restart,
+    train_face.py:160-172; this removes the manual step.)
+    """
+    if not os.path.isdir(snapshot_dir):
+        return None
+    snaps = sorted(f for f in os.listdir(snapshot_dir)
+                   if f.startswith(prefix) and f.endswith(".msgpack"))
+    return os.path.join(snapshot_dir, snaps[-1]) if snaps else None
+
+
 def save_generator_params(path: str, gen_params) -> None:
     """Inference-only export: just the four generator subnets."""
     save_checkpoint(path, gen_params)
