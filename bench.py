@@ -28,7 +28,9 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 N_SOURCE = 3
 SIZE = 256
 LABEL_NC = 2
-CLIP_FRAMES = 32
+# 128-frame chunks amortize the per-dispatch latency of this host's TPU
+# tunnel (~25 ms/call); measured 344 vs 231 fps at 32-frame chunks.
+CLIP_FRAMES = 128
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
 

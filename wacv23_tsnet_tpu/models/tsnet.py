@@ -246,38 +246,37 @@ def tsnet_forward(
     return out
 
 
-def tsnet_forward_clip(
-    mods: TSNetModules,
-    params: dict,
-    src_img: jnp.ndarray,    # (S, H, W, 3) shared reference frames
-    src_lbl: jnp.ndarray,    # (S, H, W, L)
-    src_bbox: jnp.ndarray,   # (S, H, W)
-    tar_lbl: jnp.ndarray,    # (F, H, W, L) whole driving clip
-    tar_bbox: jnp.ndarray,   # (F, H, W)
-    use_pallas: bool = True,
-) -> jnp.ndarray:
-    """Whole-clip inference: encode the S references ONCE, batch frames.
+def encode_sources(mods: TSNetModules, params: dict, src_img: jnp.ndarray,
+                   src_lbl: jnp.ndarray, src_bbox: jnp.ndarray) -> dict:
+    """Encode the S reference frames once; returns the device-resident
+    source pack reused by every subsequent driving frame."""
+    dt = mods.dtype
+    enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
+    src_fea = mods.img_enc.apply({"params": params["img_enc"]}, enc_in)
+    h = w = mods.cfg.feat_size
+    return {
+        "fea": src_fea,
+        "fea_n": l2_normalize(src_fea.astype(jnp.float32), axis=-1),
+        "mask": resize_nearest(src_bbox[..., None], (h, w))[..., 0],
+    }
 
-    The reference demo re-encodes all sources every frame inside a
-    Python loop (demo/demo_face.py:185-192); here source features are
-    computed once and broadcast over the F driving frames, so per-frame
-    cost is one label-encoder pass + S transformation branches + one
-    decoder pass. Returns (F, H, W, 3) reconstructions.
-    """
+
+def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
+                        tar_lbl: jnp.ndarray, tar_bbox: jnp.ndarray,
+                        use_pallas: bool = True) -> jnp.ndarray:
+    """Run F driving frames against a pre-encoded source pack."""
     cfg = mods.cfg
     dt = mods.dtype
     f = tar_lbl.shape[0]
+    src_fea = src_pack["fea"]
+    src_fea_n = src_pack["fea_n"]
+    src_mask = src_pack["mask"]
 
-    enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
-    src_fea = mods.img_enc.apply({"params": params["img_enc"]}, enc_in)
     tar_fea = mods.lbl_enc.apply({"params": params["lbl_enc"]},
                                  tar_lbl.astype(dt))        # (F, h, w, C)
     h, w = tar_fea.shape[1:3]
-
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
     tar_mask = resize_nearest(tar_bbox[..., None], (h, w))[..., 0]
-    src_fea_n = l2_normalize(src_fea.astype(jnp.float32), axis=-1)
-    src_mask = resize_nearest(src_bbox[..., None], (h, w))[..., 0]
 
     def warp_one_source(fea_s, fea_n_s, mask_s):
         fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape)
@@ -304,6 +303,28 @@ def tsnet_forward_clip(
     if cfg.use_fg_mask:
         rec_img = composite_foreground(rec_img, cfg)
     return rec_img
+
+
+def tsnet_forward_clip(
+    mods: TSNetModules,
+    params: dict,
+    src_img: jnp.ndarray,    # (S, H, W, 3) shared reference frames
+    src_lbl: jnp.ndarray,    # (S, H, W, L)
+    src_bbox: jnp.ndarray,   # (S, H, W)
+    tar_lbl: jnp.ndarray,    # (F, H, W, L) whole driving clip
+    tar_bbox: jnp.ndarray,   # (F, H, W)
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Whole-clip inference: encode the S references ONCE, batch frames.
+
+    The reference demo re-encodes all sources every frame inside a
+    Python loop (demo/demo_face.py:185-192); here source features are
+    computed once (`encode_sources`) and every driving frame reuses the
+    pack (`decode_with_sources`). Returns (F, H, W, 3) reconstructions.
+    """
+    src_pack = encode_sources(mods, params, src_img, src_lbl, src_bbox)
+    return decode_with_sources(mods, params, src_pack, tar_lbl, tar_bbox,
+                               use_pallas=use_pallas)
 
 
 def composite_foreground(img: jnp.ndarray, cfg: TSNetConfig) -> jnp.ndarray:

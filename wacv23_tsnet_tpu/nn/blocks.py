@@ -19,6 +19,47 @@ from ..ops.norms import instance_norm
 conv_init = nn.initializers.normal(stddev=0.02)
 
 
+def get_initializer(init_type: str = "normal", init_gain: float = 0.02):
+    """Weight-init factory (reference init_weights, networks.py:67-104):
+    normal | xavier | kaiming | orthogonal."""
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=init_gain)
+    if init_type == "xavier":
+        return nn.initializers.variance_scaling(
+            init_gain ** 2, "fan_avg", "truncated_normal")
+    if init_type == "kaiming":
+        return nn.initializers.kaiming_normal()
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=init_gain)
+    raise NotImplementedError(
+        f"initialization method [{init_type}] is not implemented")
+
+
+def get_norm_layer(norm_type: str = "instance"):
+    """Norm factory (reference get_norm_layer, networks.py:17-35).
+
+    Returns a callable `x -> x`. TS-Net uses "instance" everywhere
+    (affine-free, no running stats); "batch" would need train-state
+    plumbing flax-side and, being unused by every shipped config, maps to
+    a LayerNorm-free GroupNorm(1 group == batch-free alternative) is NOT
+    provided — requesting it raises, documenting the gap explicitly
+    rather than silently changing semantics.
+    """
+    from ..ops.norms import instance_norm
+
+    if norm_type == "instance":
+        return instance_norm
+    if norm_type == "none":
+        return lambda x: x
+    if norm_type == "batch":
+        raise NotImplementedError(
+            "batch norm is vestigial in the reference (never used by a "
+            "shipped TS-Net config) and needs mutable batch-stats state; "
+            "use 'instance' or 'none'")
+    raise NotImplementedError(
+        f"normalization layer [{norm_type}] is not found")
+
+
 def reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
     """Spatial reflection padding of an NHWC tensor (torch ReflectionPad2d)."""
     return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
