@@ -40,6 +40,26 @@ def test_session_matches_clip_forward():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_session_pose_keypoint_path_on_device():
+    import dataclasses
+    cfg = dataclasses.replace(toy_config(), task="pose", label_nc=25,
+                              use_fg_mask=True, use_align_loss=False)
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(0))
+    hw, s, l = cfg.image_size, cfg.n_source, cfg.label_nc
+    session = RetargetSession(
+        cfg, params,
+        RNG.random((s, hw, hw, 3)).astype(np.float32),
+        RNG.integers(0, 2, (s, hw, hw, l)).astype(np.float32),
+        RNG.integers(0, 2, (s, hw, hw)).astype(np.float32),
+        chunk=4, use_pallas=False)
+    kp = RNG.uniform(hw * 0.2, hw * 0.8, (3, 137, 2)).astype(np.float32)
+    kp[:, 40:60] = 0.0   # some undetected points
+    frames = session.push_keypoints(kp)
+    assert frames.shape == (3, hw, hw, 3)
+    assert np.isfinite(frames).all()
+
+
 def test_session_keypoint_path_on_device():
     cfg = toy_config()
     mods = TSNetModules(cfg)

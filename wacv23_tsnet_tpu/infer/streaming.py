@@ -62,41 +62,71 @@ class RetargetSession:
         return np.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
-    def _build_keypoint_decoder(self):
-        from ..data.rasterize_jax import rasterize_face_clip
+    @staticmethod
+    def _extent_bbox(xs, ys, hw: int):
+        """Extent + 1/16-margin bbox masks for a batch of keypoint sets
+        (data.face.face_bbox_mask / the pose label-extent rule)."""
+        margin = hw // 16
+        x_min = jnp.clip(jnp.min(xs, axis=1) - margin, 0, hw)
+        x_max = jnp.clip(jnp.max(xs, axis=1) + margin, 0, hw)
+        y_min = jnp.clip(jnp.min(ys, axis=1) - margin, 0, hw)
+        y_max = jnp.clip(jnp.max(ys, axis=1) + margin, 0, hw)
+        cols = jnp.arange(hw, dtype=jnp.float32)
+        rows = jnp.arange(hw, dtype=jnp.float32)
+        in_x = ((cols[None, None, :] >= x_min[:, None, None])
+                & (cols[None, None, :] < x_max[:, None, None]))
+        in_y = ((rows[None, :, None] >= y_min[:, None, None])
+                & (rows[None, :, None] < y_max[:, None, None]))
+        return (in_x & in_y).astype(jnp.float32)
 
+    def _build_keypoint_decoder(self):
         cfg = self.cfg
-        assert cfg.task == "face", (
-            "on-device keypoint path currently covers the face task; "
-            "pose uses rasterize_pose_clip + push_labels")
         hw = cfg.image_size
 
-        def fn(params, src_pack, keypoints, bw):
-            lbl_cls = rasterize_face_clip(keypoints, bw, h=hw, w=hw)
-            onehot = jax.nn.one_hot(lbl_cls, cfg.label_nc)      # (F,H,W,L)
-            # bbox: landmark extent + 1/16 margin (data.face.face_bbox_mask)
-            xs = keypoints[..., 0]
-            ys = keypoints[..., 1]
-            margin = hw // 16
-            x_min = jnp.clip(jnp.min(xs, axis=1) - margin, 0, hw)
-            x_max = jnp.clip(jnp.max(xs, axis=1) + margin, 0, hw)
-            y_min = jnp.clip(jnp.min(ys, axis=1) - margin, 0, hw)
-            y_max = jnp.clip(jnp.max(ys, axis=1) + margin, 0, hw)
-            cols = jnp.arange(hw, dtype=jnp.float32)
-            in_x = ((cols[None, None, :] >= x_min[:, None, None])
-                    & (cols[None, None, :] < x_max[:, None, None]))
-            rows = jnp.arange(hw, dtype=jnp.float32)
-            in_y = ((rows[None, :, None] >= y_min[:, None, None])
-                    & (rows[None, :, None] < y_max[:, None, None]))
-            bbox = (in_x & in_y).astype(jnp.float32)
-            return decode_with_sources(self.mods, params, src_pack,
-                                       onehot, bbox)
+        if cfg.task == "face":
+            from ..data.rasterize_jax import rasterize_face_clip
+
+            def fn(params, src_pack, keypoints, bw):
+                lbl_cls = rasterize_face_clip(keypoints, bw, h=hw, w=hw)
+                onehot = jax.nn.one_hot(lbl_cls, cfg.label_nc)
+                bbox = self._extent_bbox(keypoints[..., 0],
+                                         keypoints[..., 1], hw)
+                return decode_with_sources(self.mods, params, src_pack,
+                                           onehot, bbox)
+        else:
+            from ..data.rasterize_jax import rasterize_pose_clip
+
+            def fn(params, src_pack, keypoints, bw):
+                # keypoints: concatenated (F, 137, 2) pose|face|hand_l|hand_r
+                pose = keypoints[:, :25]
+                face = keypoints[:, 25:95]
+                hand_l = keypoints[:, 95:116]
+                hand_r = keypoints[:, 116:137]
+                lbl_cls = rasterize_pose_clip(
+                    pose, face, hand_l, hand_r, bw,
+                    jnp.maximum(bw / 3.0, 1.0), h=hw, w=hw)
+                onehot = jax.nn.one_hot(lbl_cls, cfg.label_nc)
+                valid = jnp.all(keypoints != 0, axis=-1)
+                xs = jnp.where(valid, keypoints[..., 0], jnp.inf)
+                ys = jnp.where(valid, keypoints[..., 1], jnp.inf)
+                xs_max = jnp.where(valid, keypoints[..., 0], -jnp.inf)
+                ys_max = jnp.where(valid, keypoints[..., 1], -jnp.inf)
+                bbox = self._extent_bbox(
+                    jnp.stack([jnp.min(xs, 1), jnp.max(xs_max, 1)], 1),
+                    jnp.stack([jnp.min(ys, 1), jnp.max(ys_max, 1)], 1), hw)
+                return decode_with_sources(self.mods, params, src_pack,
+                                           onehot, bbox)
 
         return jax.jit(fn)
 
     def push_keypoints(self, keypoints, bw: Optional[np.ndarray] = None
                        ) -> np.ndarray:
-        """(F, 68, 2) crop-local landmarks -> (F, H, W, 3), fully on device."""
+        """Crop-local keypoints -> (F, H, W, 3), fully on device.
+
+        Face task: (F, 68, 2) landmarks. Pose task: (F, 137, 2)
+        concatenated [pose 25 | face 70 | hand_l 21 | hand_r 21]
+        validated keypoints (zeros = undetected).
+        """
         if self._decode_kp is None:
             self._decode_kp = self._build_keypoint_decoder()
         keypoints = jnp.asarray(keypoints, jnp.float32)
