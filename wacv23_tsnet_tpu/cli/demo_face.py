@@ -84,7 +84,7 @@ def main(argv=None):
     engine = ClipInference(cfg, params, chunk=args.chunk)
     t0 = time.time()
     rec = engine.run_renormalized(
-        (src["img"] + IMG_MEAN.reshape(1, 3, 1, 1))[ref_idx],
+        src["img"][ref_idx],
         src["lbl"][ref_idx], src["bbox"][ref_idx],
         tar["lbl"], tar["bbox"])
     n_frames = rec.shape[0]

@@ -179,6 +179,22 @@ class TSNet:
         for k, v in metrics.items():
             self._losses[k] = float(v)
 
+    def optimize_parameters_on(self, batch: dict) -> None:
+        """GAN update on a pre-staged NHWC device batch.
+
+        Fast path for training loops: sources can be `jax.device_put`
+        once per clip instead of re-transferring through
+        `set_train_input` for every target frame. `batch` keys follow
+        the pure train-step contract (src_img (B,S,H,W,3) model-space,
+        src_lbl, src_bbox, tar_img, tar_lbl, tar_bbox).
+        """
+        assert self.is_train
+        self.state, metrics, rec = self._train_step(
+            self.state, batch, jnp.float32(self._current_lr))
+        self.rec_tar_img = _nchw(rec)
+        for k, v in metrics.items():
+            self._losses[k] = float(v)
+
     # ------------------------------------------------------------------
     # schedule + reporting (reference :485-512)
     # ------------------------------------------------------------------

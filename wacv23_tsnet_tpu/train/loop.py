@@ -45,24 +45,40 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
             boxes = batch["bbox"]        # (B, T, H, W)
             bsz, n_total = imgs.shape[:2]
 
-            src_imgs = [imgs[:, i] + mean.reshape(1, 3, 1, 1)
-                        for i in range(n_source)]
-            src_lbls = [labels_to_onehot(lbls[:, i], cfg.task)
-                        for i in range(n_source)]
-            src_boxes = [boxes[:, i].astype(np.float32)
-                         for i in range(n_source)]
+            # Stage the clip's shared sources on device ONCE; only the
+            # small per-target tensors transfer inside the frame loop
+            # (the reference re-stages sources every step,
+            # train_face.py:250 / TSNet.py:266-281).
+            import jax
+            import jax.numpy as jnp
+
+            def nhwc(x):
+                return np.ascontiguousarray(x.transpose(0, 2, 3, 1))
+
+            src_dev = {
+                "src_img": jax.device_put(np.stack(
+                    [nhwc(imgs[:, i] / 255.0) for i in range(n_source)],
+                    axis=1)),
+                "src_lbl": jax.device_put(np.stack(
+                    [nhwc(labels_to_onehot(lbls[:, i], cfg.task))
+                     for i in range(n_source)], axis=1)),
+                "src_bbox": jax.device_put(
+                    boxes[:, :n_source].astype(np.float32)),
+            }
 
             for frame_iter in range(n_source, n_total):
                 if actual_step >= final_step:
                     break
                 model.setup(actual_step, tcfg.batch_size, tcfg.initial_iter,
                             tcfg.max_iter, tcfg.power)
-                tar_img = imgs[:, frame_iter] + mean.reshape(1, 3, 1, 1)
-                tar_lbl = labels_to_onehot(lbls[:, frame_iter], cfg.task)
-                tar_bbox = boxes[:, frame_iter].astype(np.float32)
-                model.set_train_input(src_imgs, src_lbls, src_boxes,
-                                      tar_img, tar_lbl, tar_bbox)
-                model.optimize_parameters()
+                batch = dict(src_dev)
+                batch["tar_img"] = jnp.asarray(
+                    nhwc(imgs[:, frame_iter] / 255.0))
+                batch["tar_lbl"] = jnp.asarray(
+                    nhwc(labels_to_onehot(lbls[:, frame_iter], cfg.task)))
+                batch["tar_bbox"] = jnp.asarray(
+                    boxes[:, frame_iter].astype(np.float32))
+                model.optimize_parameters_on(batch)
                 actual_step += 1
 
                 for name, value in model.get_current_losses().items():
