@@ -52,7 +52,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--frames", type=int, default=64)
     p.add_argument("--precision", default="high")
-    p.add_argument("--fast-tail", action="store_true", default=True)
+    p.add_argument("--fast-tail", action=argparse.BooleanOptionalAction,
+                   default=True)
     args = p.parse_args(argv)
 
     from ..configs import face_config

@@ -85,10 +85,13 @@ def reference_checkpoint(gen_params: Mapping, cfg, example: int = 0,
         "fuse_net": fusenet_state_dict(gen_params["fuse_net"]),
     }
     if disc_params:
+        n_layers = getattr(cfg, "d_n_layers", 3)
         if "netD" in disc_params:
-            ckpt["netD"] = discriminator_state_dict(disc_params["netD"])
+            ckpt["netD"] = discriminator_state_dict(disc_params["netD"],
+                                                    n_layers)
         if "netDF" in disc_params:
-            ckpt["netDF"] = discriminator_state_dict(disc_params["netDF"])
+            ckpt["netDF"] = discriminator_state_dict(disc_params["netDF"],
+                                                     n_layers)
     return ckpt
 
 

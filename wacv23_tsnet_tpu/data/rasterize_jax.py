@@ -30,11 +30,6 @@ import numpy as np
 
 from .rasterize import (FACE_SEGMENTS, HAND_FINGERS, pose_edge_colors)
 
-# class ids: pose edges 1..24 (palette order), hand fingers 19..23, face 24
-# (matching codecs.POSE_PALETTE: index+1)
-_POSE_CLASS_BY_COLOR = None
-
-
 def _build_edge_table(basic_point_only: bool = False,
                       remove_face_labels: bool = False):
     """Static (starts_idx, ends_idx, group, class_id) tables.

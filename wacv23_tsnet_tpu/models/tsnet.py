@@ -253,7 +253,7 @@ def encode_sources(mods: TSNetModules, params: dict, src_img: jnp.ndarray,
     dt = mods.dtype
     enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
     src_fea = mods.img_enc.apply({"params": params["img_enc"]}, enc_in)
-    h = w = mods.cfg.feat_size
+    h, w = src_fea.shape[1:3]
     return {
         "fea": src_fea,
         "fea_n": l2_normalize(src_fea.astype(jnp.float32), axis=-1),

@@ -36,13 +36,20 @@ def _build() -> Optional[str]:
     if os.path.exists(path):
         return path
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # per-process tmp name: concurrent builders (pytest workers, parallel
+    # trainers) must not interleave writes into one file
+    tmp = f"{path}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-           "-o", path + ".tmp", _SRC]
+           "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, path)
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
-    os.replace(path + ".tmp", path)
     return path
 
 
@@ -60,7 +67,15 @@ def lib() -> Optional[ctypes.CDLL]:
         path = _build()
         if path is None:
             return None
-        cdll = ctypes.CDLL(path)
+        try:
+            cdll = ctypes.CDLL(path)
+        except OSError:
+            # corrupt cached artifact: invalidate and fall back to numpy
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+            return None
         cdll.tsnet_draw_edge.restype = ctypes.c_int
         cdll.tsnet_draw_edge.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -95,8 +110,12 @@ def native_draw_edge(img: np.ndarray, x, y, bw: int, color,
     if x.size < 2:
         return True  # nothing to draw; matches numpy-tier None
     c = 1 if img.ndim == 2 else img.shape[2]
-    col = np.ascontiguousarray(
-        np.asarray(color, np.uint8).reshape(-1)[:max(1, c)])
+    # broadcast short colors over all channels (numpy-tier semantics:
+    # img[yy, xx] = (255,) paints every channel); the C side reads c bytes
+    col = np.asarray(color, np.uint8).reshape(-1)
+    if col.size < c:
+        col = np.broadcast_to(col[:1], (c,))
+    col = np.ascontiguousarray(col[:c])
     cdll.tsnet_draw_edge(
         img.ctypes.data, img.shape[0], img.shape[1], c,
         x.ctypes.data, y.ctypes.data, x.size, int(bw),

@@ -13,12 +13,14 @@ from __future__ import annotations
 import os
 import time
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..configs import TrainConfig, TSNetConfig
 from ..data.codecs import labels_to_onehot
 from ..infer.pipeline import montage_row, to_display_rgb
-from ..models.api import TSNet
+from ..models.api import TSNet, _nhwc
 from ..utils import AverageMeter, StepTimer
 from .checkpoint import save_checkpoint
 
@@ -38,29 +40,23 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
     t0 = time.time()
 
     while actual_step < final_step:
-        for batch in loader:
+        for clip in loader:
             timer.mark_data()
-            imgs = batch["img"]          # (B, T, 3, H, W)
-            lbls = batch["lbl"]          # (B, T, H, W)
-            boxes = batch["bbox"]        # (B, T, H, W)
+            imgs = clip["img"]           # (B, T, 3, H, W) dataset space
+            lbls = clip["lbl"]           # (B, T, H, W)
+            boxes = clip["bbox"]         # (B, T, H, W)
             bsz, n_total = imgs.shape[:2]
 
             # Stage the clip's shared sources on device ONCE; only the
             # small per-target tensors transfer inside the frame loop
             # (the reference re-stages sources every step,
             # train_face.py:250 / TSNet.py:266-281).
-            import jax
-            import jax.numpy as jnp
-
-            def nhwc(x):
-                return np.ascontiguousarray(x.transpose(0, 2, 3, 1))
-
             src_dev = {
                 "src_img": jax.device_put(np.stack(
-                    [nhwc(imgs[:, i] / 255.0) for i in range(n_source)],
+                    [_nhwc(imgs[:, i] / 255.0) for i in range(n_source)],
                     axis=1)),
                 "src_lbl": jax.device_put(np.stack(
-                    [nhwc(labels_to_onehot(lbls[:, i], cfg.task))
+                    [_nhwc(labels_to_onehot(lbls[:, i], cfg.task))
                      for i in range(n_source)], axis=1)),
                 "src_bbox": jax.device_put(
                     boxes[:, :n_source].astype(np.float32)),
@@ -71,14 +67,14 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
                     break
                 model.setup(actual_step, tcfg.batch_size, tcfg.initial_iter,
                             tcfg.max_iter, tcfg.power)
-                batch = dict(src_dev)
-                batch["tar_img"] = jnp.asarray(
-                    nhwc(imgs[:, frame_iter] / 255.0))
-                batch["tar_lbl"] = jnp.asarray(
-                    nhwc(labels_to_onehot(lbls[:, frame_iter], cfg.task)))
-                batch["tar_bbox"] = jnp.asarray(
+                step_batch = dict(src_dev)
+                step_batch["tar_img"] = jnp.asarray(
+                    _nhwc(imgs[:, frame_iter] / 255.0))
+                step_batch["tar_lbl"] = jnp.asarray(
+                    _nhwc(labels_to_onehot(lbls[:, frame_iter], cfg.task)))
+                step_batch["tar_bbox"] = jnp.asarray(
                     boxes[:, frame_iter].astype(np.float32))
-                model.optimize_parameters_on(batch)
+                model.optimize_parameters_on(step_batch)
                 actual_step += 1
 
                 for name, value in model.get_current_losses().items():
@@ -113,18 +109,22 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
 
 def _save_imgshot(model, imgs, lbls, frame_iter, mean, imgshot_dir,
                   step, cfg):
-    """source | target | reconstruction | warp preview montage."""
+    """source | target | reconstruction [| warp] montage.
+
+    `imgs` are dataset-space (mean-subtracted, 0..255 scale), so they
+    divide by 255 before `to_display_rgb` (which expects model space);
+    `rec_tar_img` is already model space.
+    """
     from ..data.codecs import labels_to_image
 
-    rec = model.rec_tar_img[0] / 1.0
     row = [
-        to_display_rgb(imgs[0, 0], mean),
+        to_display_rgb(imgs[0, 0] / 255.0, mean),
         labels_to_image(lbls[0, frame_iter], cfg.task)
         if cfg.task == "pose" else
         np.repeat(labels_to_image(lbls[0, frame_iter], "face")[..., None],
                   3, axis=-1),
-        to_display_rgb(imgs[0, frame_iter], mean),
-        to_display_rgb(rec, mean),
+        to_display_rgb(imgs[0, frame_iter] / 255.0, mean),
+        to_display_rgb(model.rec_tar_img[0], mean),
     ]
     if model.warp_src_img_list:
         row.append(to_display_rgb(model.warp_src_img_list[0][0], mean))
