@@ -82,8 +82,34 @@ class TSNet:
             ["G", "G_GAN", "G_FML", "G_VGG", "D", "D_real", "D_fake",
              "grad_G", "warp", "align"])
         self._losses = {k: 0.0 for k in self.loss_names}
-        self.rec_tar_img = None
+        self._rec_dev = None
+        self._rec_cache = None
+        self._metrics_dev = None
         self.warp_src_img_list = None
+
+    # ------------------------------------------------------------------
+    # lazy device->host materialization: through this host's TPU tunnel a
+    # full-frame pull costs ~1s, so results stay on device until read
+    # ------------------------------------------------------------------
+    @property
+    def rec_tar_img(self):
+        if self._rec_cache is None and self._rec_dev is not None:
+            self._rec_cache = _nchw(self._rec_dev)
+        return self._rec_cache
+
+    def _set_rec(self, rec_device) -> None:
+        self._rec_dev = rec_device
+        self._rec_cache = None
+
+    def _sync_losses(self) -> None:
+        if self._metrics_dev is None:
+            return
+        metrics, self._metrics_dev = self._metrics_dev, None
+        # one stacked transfer instead of len(metrics) scalar round-trips
+        keys = list(metrics)
+        values = np.asarray(jnp.stack([metrics[k] for k in keys]))
+        for k, v in zip(keys, values):
+            self._losses[k] = float(v)
 
     # ------------------------------------------------------------------
     # parameter access
@@ -160,7 +186,7 @@ class TSNet:
         train = self.is_train and "tar_img" in batch
         out = self._infer_fn(batch["src_img"].shape[1], train)(
             self.generator_params, batch)
-        self.rec_tar_img = _nchw(out["rec_img"])
+        self._set_rec(out["rec_img"])
         if train:
             warp = np.asarray(out["warp_imgs"])
             self.warp_src_img_list = [
@@ -175,9 +201,9 @@ class TSNet:
         assert self.is_train, "optimize_parameters requires is_train=True"
         self.state, metrics, rec = self._train_step(
             self.state, self._batch, jnp.float32(self._current_lr))
-        self.rec_tar_img = _nchw(rec)
-        for k, v in metrics.items():
-            self._losses[k] = float(v)
+        self._set_rec(rec)
+        self._metrics_dev = metrics
+        self._sync_losses()
 
     def optimize_parameters_on(self, batch: dict) -> None:
         """GAN update on a pre-staged NHWC device batch.
@@ -191,9 +217,10 @@ class TSNet:
         assert self.is_train
         self.state, metrics, rec = self._train_step(
             self.state, batch, jnp.float32(self._current_lr))
-        self.rec_tar_img = _nchw(rec)
-        for k, v in metrics.items():
-            self._losses[k] = float(v)
+        self._set_rec(rec)
+        # metrics stay on device; get_current_losses() materializes them
+        # in one stacked transfer when actually read
+        self._metrics_dev = metrics
 
     # ------------------------------------------------------------------
     # schedule + reporting (reference :485-512)
@@ -204,6 +231,7 @@ class TSNet:
                                          initial_iter, max_iter, power))
 
     def get_current_losses(self) -> "OrderedDict[str, float]":
+        self._sync_losses()
         return OrderedDict((k, float(self._losses.get(k, 0.0)))
                            for k in self.loss_names)
 

@@ -6,10 +6,20 @@ n_source..T-1 are successive targets, giving T - n_source optimizer
 steps per clip. The poly LR advances per optimizer step scaled by batch
 size (examples seen), and checkpoints/image snapshots fire on the same
 counters as the reference.
+
+Feeding is transfer-minimal (host->device bandwidth is the scarce
+resource on tunneled TPU hosts):
+- tensors cross as COMPACT uint8 (raw BGR pixels, label class maps, 0/1
+  bboxes) and a jitted expander performs mean-subtract + /255 + one-hot
+  on device (~8x fewer bytes than staging the float batch);
+- the clip's sources transfer once, not once per target step;
+- per-step metrics stay on device and sync in one stacked transfer at
+  print/snapshot boundaries, so step dispatch pipelines with host prep.
 """
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 
@@ -18,11 +28,36 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..configs import TrainConfig, TSNetConfig
-from ..data.codecs import labels_to_onehot
 from ..infer.pipeline import montage_row, to_display_rgb
-from ..models.api import TSNet, _nhwc
+from ..models.api import TSNet
 from ..utils import AverageMeter, StepTimer
 from .checkpoint import save_checkpoint
+
+
+def _make_expanders(label_nc: int, mean: np.ndarray):
+    """Jitted uint8 -> model-space expanders (run on device)."""
+    mean_dev = jnp.asarray(mean, jnp.float32)
+
+    @jax.jit
+    def expand_sources(img_u8, lbl_u8, bbox_u8):
+        # img_u8 (B, S, H, W, 3) raw BGR -> (BGR - mean)/255 model space
+        img = (img_u8.astype(jnp.float32) - mean_dev) / 255.0
+        lbl = jax.nn.one_hot(lbl_u8, label_nc, dtype=jnp.float32)
+        return img, lbl, bbox_u8.astype(jnp.float32)
+
+    @jax.jit
+    def expand_target(img_u8, lbl_u8, bbox_u8):
+        img = (img_u8.astype(jnp.float32) - mean_dev) / 255.0
+        lbl = jax.nn.one_hot(lbl_u8, label_nc, dtype=jnp.float32)
+        return img, lbl, bbox_u8.astype(jnp.float32)
+
+    return expand_sources, expand_target
+
+
+def _nhwc_u8(imgs_ds: np.ndarray, mean: np.ndarray) -> np.ndarray:
+    """Dataset-space (C-first, BGR - mean) floats -> raw uint8 NHWC."""
+    raw = imgs_ds.transpose(0, 2, 3, 1) + mean
+    return np.clip(np.rint(raw), 0, 255).astype(np.uint8)
 
 
 def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
@@ -36,51 +71,59 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
     meters = {name: AverageMeter() for name in model.loss_names}
     timer = StepTimer()
     mean = cfg.img_mean_array()
+    expand_sources, expand_target = _make_expanders(cfg.label_nc, mean)
     actual_step = start_step
     t0 = time.time()
+    pending: list = []   # (device metrics dict, batch size) per step
+
+    def sync_pending():
+        if not pending:
+            return
+        stacked = np.asarray(jnp.stack(
+            [jnp.stack(list(m.values())) for m, _ in pending]))
+        keys = list(pending[0][0])
+        for row, (_, bsz) in zip(stacked, pending):
+            for k, v in zip(keys, row):
+                meters[k].update(float(v), bsz)
+                model._losses[k] = float(v)
+        pending.clear()
 
     while actual_step < final_step:
         for clip in loader:
             timer.mark_data()
             imgs = clip["img"]           # (B, T, 3, H, W) dataset space
-            lbls = clip["lbl"]           # (B, T, H, W)
-            boxes = clip["bbox"]         # (B, T, H, W)
+            lbls = clip["lbl"]           # (B, T, H, W) class maps
+            boxes = clip["bbox"]         # (B, T, H, W) 0/1
             bsz, n_total = imgs.shape[:2]
 
-            # Stage the clip's shared sources on device ONCE; only the
-            # small per-target tensors transfer inside the frame loop
-            # (the reference re-stages sources every step,
-            # train_face.py:250 / TSNet.py:266-281).
-            src_dev = {
-                "src_img": jax.device_put(np.stack(
-                    [_nhwc(imgs[:, i] / 255.0) for i in range(n_source)],
-                    axis=1)),
-                "src_lbl": jax.device_put(np.stack(
-                    [_nhwc(labels_to_onehot(lbls[:, i], cfg.task))
-                     for i in range(n_source)], axis=1)),
-                "src_bbox": jax.device_put(
-                    boxes[:, :n_source].astype(np.float32)),
-            }
+            src_u8 = np.stack([_nhwc_u8(imgs[:, i], mean)
+                               for i in range(n_source)], axis=1)
+            src_img, src_lbl, src_bbox = expand_sources(
+                jnp.asarray(src_u8),
+                jnp.asarray(lbls[:, :n_source].astype(np.uint8)),
+                jnp.asarray(boxes[:, :n_source].astype(np.uint8)))
+            src_dev = {"src_img": src_img, "src_lbl": src_lbl,
+                       "src_bbox": src_bbox}
 
             for frame_iter in range(n_source, n_total):
                 if actual_step >= final_step:
                     break
                 model.setup(actual_step, tcfg.batch_size, tcfg.initial_iter,
                             tcfg.max_iter, tcfg.power)
+                tar_img, tar_lbl, tar_bbox = expand_target(
+                    jnp.asarray(_nhwc_u8(imgs[:, frame_iter], mean)),
+                    jnp.asarray(lbls[:, frame_iter].astype(np.uint8)),
+                    jnp.asarray(boxes[:, frame_iter].astype(np.uint8)))
                 step_batch = dict(src_dev)
-                step_batch["tar_img"] = jnp.asarray(
-                    _nhwc(imgs[:, frame_iter] / 255.0))
-                step_batch["tar_lbl"] = jnp.asarray(
-                    _nhwc(labels_to_onehot(lbls[:, frame_iter], cfg.task)))
-                step_batch["tar_bbox"] = jnp.asarray(
-                    boxes[:, frame_iter].astype(np.float32))
+                step_batch.update(tar_img=tar_img, tar_lbl=tar_lbl,
+                                  tar_bbox=tar_bbox)
                 model.optimize_parameters_on(step_batch)
+                pending.append((model._metrics_dev, bsz))
+                model._metrics_dev = None   # loop owns the sync
                 actual_step += 1
 
-                for name, value in model.get_current_losses().items():
-                    meters[name].update(value, bsz)
-
                 if actual_step % tcfg.print_freq == 0:
+                    sync_pending()
                     losses = " ".join(
                         f"{k}={m.avg:.3f}" for k, m in meters.items())
                     print(f"step {actual_step}/{final_step} "
@@ -88,10 +131,12 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
                     model.print_learning_rate()
 
                 if actual_step % tcfg.save_img_freq == 0:
+                    sync_pending()
                     _save_imgshot(model, imgs, lbls, frame_iter, mean,
                                   imgshot_dir, actual_step, cfg)
 
                 if actual_step % save_every == 0:
+                    sync_pending()
                     path = os.path.join(
                         snapshot_dir, f"TSNet_S{actual_step:06d}.msgpack")
                     save_checkpoint(path, model.state)
@@ -100,6 +145,7 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
             if actual_step >= final_step:
                 break
 
+    sync_pending()
     path = os.path.join(snapshot_dir, f"TSNet_S{actual_step:06d}.msgpack")
     save_checkpoint(path, model.state)
     print(f"final snapshot {path}; "
