@@ -69,6 +69,7 @@ def main(argv=None):
                        initial_epoch=args.initial_epoch,
                        max_epoch=args.max_epoch,
                        n_frame_total=args.n_frame_total,
+                       n_source=args.n_source,
                        num_videos=args.num_videos,
                        seed=args.random_seed,
                        print_freq=args.print_freq)

@@ -100,6 +100,7 @@ class TrainConfig:
     initial_epoch: int = 400
     max_epoch: int = 900
     n_frame_total: int = 10
+    n_source: int = 3           # first N_SOURCE frames of each clip
     num_videos: int = 150       # 100 for pose (train_pose.py:30)
     frame_interval: int = 1     # 4 for pose
     seed: int = 1234
@@ -110,8 +111,7 @@ class TrainConfig:
 
     @property
     def num_examples_per_epoch(self) -> int:
-        n_source = 3  # first N_SOURCE frames are sources
-        return self.num_videos * (self.n_frame_total - n_source)
+        return self.num_videos * (self.n_frame_total - self.n_source)
 
     @property
     def initial_iter(self) -> int:

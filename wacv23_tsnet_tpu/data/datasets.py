@@ -48,11 +48,18 @@ def _listdir_sorted(path):
 
 
 def _resize_bool(arr: np.ndarray, size) -> np.ndarray:
-    """Binary-mask resize: float bilinear + 0.5 threshold -> uint8 0/1."""
+    """Binary-mask resize: float bilinear + ABSOLUTE 0.5 threshold.
+
+    Mirrors skimage `img_as_bool(resize(x))`: the uint8 input maps to
+    [0, 1] and thresholds at 0.5 of the dtype range (127.5), NOT at half
+    the post-resize maximum — downscaling may attenuate stroke peaks and
+    a relative threshold would thicken masks.
+    """
+    scale = 255.0 if arr.dtype == np.uint8 and arr.max() > 1 else 1.0
     interp = (cv2.INTER_AREA if size[0] < arr.shape[1] else cv2.INTER_LINEAR)
-    resized = cv2.resize(arr.astype(np.float32), size, interpolation=interp)
-    return (resized > 0.5 * resized.max()).astype(np.uint8) \
-        if resized.max() > 0 else np.zeros(resized.shape, np.uint8)
+    resized = cv2.resize(arr.astype(np.float32) / scale, size,
+                         interpolation=interp)
+    return (resized > 0.5).astype(np.uint8)
 
 
 def _to_bgr_mean_sub(img: Image.Image, mean) -> np.ndarray:

@@ -48,7 +48,9 @@ def smooth_keypoint_track(track: np.ndarray, win: int = 5) -> np.ndarray:
     assert win == 5, "reference hard-codes a 5-frame window"
     track = np.asarray(track, np.float64)
     t = track.shape[0]
-    if t < 6:
+    if t < 5:
+        # the reference scheme indexes cumsum[4] and would crash here;
+        # graceful passthrough for sub-window clips
         return track.copy()
     cs = np.cumsum(track, axis=0)
     out = np.empty_like(track)
@@ -81,7 +83,8 @@ def smooth_valid_track(track: np.ndarray) -> np.ndarray:
     """
     track = np.asarray(track, np.float64)
     t, k, _ = track.shape
-    if t < 6:
+    if t < 5:
+        # sub-window clips: the reference would index out of bounds
         return track.copy()
     out = np.zeros_like(track)
     for ki in range(k):

@@ -205,6 +205,17 @@ class TSNet:
         self._metrics_dev = metrics
         self._sync_losses()
 
+    def render_warp_previews(self, batch: dict) -> np.ndarray:
+        """(B, S, 3, H, W) warp-supervision images for a device batch.
+
+        The training step doesn't ship warp images back per step (big
+        transfers); snapshot writers call this at imgshot frequency to
+        reproduce the reference's warp-preview column
+        (train_face.py:319-322)."""
+        out = self._infer_fn(batch["src_img"].shape[1], True)(
+            self.generator_params, batch)
+        return np.asarray(out["warp_imgs"]).transpose(0, 1, 4, 2, 3)
+
     def optimize_parameters_on(self, batch: dict) -> None:
         """GAN update on a pre-staged NHWC device batch.
 

@@ -133,7 +133,8 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
                 if actual_step % tcfg.save_img_freq == 0:
                     sync_pending()
                     _save_imgshot(model, imgs, lbls, frame_iter, mean,
-                                  imgshot_dir, actual_step, cfg)
+                                  imgshot_dir, actual_step, cfg,
+                                  step_batch)
 
                 if actual_step % save_every == 0:
                     sync_pending()
@@ -154,12 +155,12 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
 
 
 def _save_imgshot(model, imgs, lbls, frame_iter, mean, imgshot_dir,
-                  step, cfg):
-    """source | target | reconstruction [| warp] montage.
+                  step, cfg, step_batch=None):
+    """source | target | reconstruction | warp montage.
 
     `imgs` are dataset-space (mean-subtracted, 0..255 scale), so they
     divide by 255 before `to_display_rgb` (which expects model space);
-    `rec_tar_img` is already model space.
+    `rec_tar_img` and the warp previews are already model space.
     """
     from ..data.codecs import labels_to_image
 
@@ -172,7 +173,10 @@ def _save_imgshot(model, imgs, lbls, frame_iter, mean, imgshot_dir,
         to_display_rgb(imgs[0, frame_iter] / 255.0, mean),
         to_display_rgb(model.rec_tar_img[0], mean),
     ]
-    if model.warp_src_img_list:
+    if step_batch is not None:
+        warp = model.render_warp_previews(step_batch)
+        row.append(to_display_rgb(warp[0, 0], mean))
+    elif model.warp_src_img_list:
         row.append(to_display_rgb(model.warp_src_img_list[0][0], mean))
     montage_row(row).save(
         os.path.join(imgshot_dir, f"step_{step:06d}.png"))
