@@ -61,6 +61,10 @@ class TSNetConfig:
     # feed the temp-100 attention (only the encoders do), so tail
     # precision trades a small output drift for the bulk of the FLOPs.
     fast_tail: bool = False
+    # rematerialize subnet activations in the backward pass (jax
+    # checkpoint): ~30% more forward FLOPs for a large cut in training
+    # HBM, enabling bigger batches/resolutions on one chip.
+    remat: bool = False
     # BGR channel means in [0,255]; images cross the data boundary
     # mean-subtracted (dataset_video_face.py:136-139) and are divided by 255
     # on model ingest (TSNet.py:268,279).

@@ -39,25 +39,35 @@ class TSNetModules:
         self.dtype = dt
         feat = cfg.feat_ch
         prec = cfg.precision
-        self.img_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
+        if cfg.remat:
+            # rematerialize each subnet's activations in the backward
+            # pass (HBM for FLOPs); param trees are unchanged
+            import flax.linen as fnn
+            enc_cls, dec_cls, fuse_cls, disc_cls = (
+                fnn.remat(Encoder), fnn.remat(Decoder), fnn.remat(FuseNet),
+                fnn.remat(PatchDiscriminator))
+        else:
+            enc_cls, dec_cls, fuse_cls, disc_cls = (
+                Encoder, Decoder, FuseNet, PatchDiscriminator)
+        self.img_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=cfg.enc_n_blocks,
                                addcoords=cfg.addcoords, dtype=dt,
                                precision=prec)
-        self.lbl_enc = Encoder(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
+        self.lbl_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=0, addcoords=cfg.addcoords, dtype=dt,
                                precision=prec)
         tail_dt = jnp.bfloat16 if cfg.fast_tail else dt
         tail_prec = "default" if cfg.fast_tail else prec
-        self.dec = Decoder(output_nc=3, ngf=cfg.ngf,
+        self.dec = dec_cls(output_nc=3, ngf=cfg.ngf,
                            n_downsampling=cfg.n_downsampling,
                            n_blocks=cfg.dec_n_blocks, dtype=tail_dt,
                            precision=tail_prec)
-        self.fuse_net = FuseNet(ngf=2 * feat, n_blocks=1, dtype=tail_dt,
-                                precision=tail_prec)
-        self.netD = PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
-                                       dtype=dt, precision=prec)
-        self.netDF = (PatchDiscriminator(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
-                                         dtype=dt, precision=prec)
+        self.fuse_net = fuse_cls(ngf=2 * feat, n_blocks=1, dtype=tail_dt,
+                                 precision=tail_prec)
+        self.netD = disc_cls(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
+                             dtype=dt, precision=prec)
+        self.netDF = (disc_cls(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
+                               dtype=dt, precision=prec)
                       if cfg.use_face_d else None)
 
     def init_generator_params(self, rng: jax.Array) -> dict:
