@@ -71,6 +71,46 @@ def test_toy_train_step_and_inference():
     assert infer.rec_tar_img.shape == (bs, 3, size, size)
 
 
+def test_remat_train_step_matches_params_and_runs():
+    """remat=True keeps the identical param tree and produces the same
+    forward (it only changes what the backward stores)."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from wacv23_tsnet_tpu.models import TSNetModules, tsnet_forward
+
+    cfg = toy_config()
+    mods = TSNetModules(cfg)
+    mods_r = TSNetModules(dataclasses.replace(cfg, remat=True))
+    params = mods.init_generator_params(jax.random.PRNGKey(0))
+    params_r = mods_r.init_generator_params(jax.random.PRNGKey(0))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(params_r))
+
+    rng = np.random.default_rng(1)
+    s, hw, l = cfg.n_source, cfg.image_size, cfg.label_nc
+    args = (jnp.asarray(rng.random((1, s, hw, hw, 3), np.float32)),
+            jnp.asarray(rng.integers(0, 2, (1, s, hw, hw, l))
+                        .astype(np.float32)),
+            jnp.asarray(rng.integers(0, 2, (1, s, hw, hw))
+                        .astype(np.float32)),
+            jnp.asarray(rng.integers(0, 2, (1, hw, hw, l))
+                        .astype(np.float32)),
+            jnp.asarray(rng.integers(0, 2, (1, hw, hw)).astype(np.float32)))
+    rec = tsnet_forward(mods, params, *args, use_pallas=False)["rec_img"]
+    rec_r = tsnet_forward(mods_r, params, *args, use_pallas=False)["rec_img"]
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec_r), atol=1e-5)
+
+    # gradients flow through the remat boundaries
+    def loss(p):
+        return jnp.sum(tsnet_forward(mods_r, p, *args,
+                                     use_pallas=False)["rec_img"] ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
+
+
 def test_poly_lr_schedule_matches_reference():
     from wacv23_tsnet_tpu.train.schedule import lr_poly
 
