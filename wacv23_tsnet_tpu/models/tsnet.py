@@ -26,7 +26,8 @@ from ..losses.image import l1_loss, cosine_align_loss, renorm_to_reference
 from ..nn import Decoder, Encoder, FuseNet, PatchDiscriminator
 from ..ops.norms import l2_normalize
 from ..ops.resize import resize_nearest, _sample_separable
-from ..ops.similarity import transformation_warp
+from ..ops.similarity import (transformation_warp_clip,
+                              transformation_warp_sources)
 from ..ops.warp import patch_warp
 
 
@@ -204,13 +205,10 @@ def tsnet_forward(
         lambda m: resize_nearest(m[..., None], (h, w))[..., 0],
         in_axes=1, out_axes=1)(src_bbox)               # (B, S, h, w)
 
-    def warp_one(fea, fea_n, mask):
-        return transformation_warp(
-            fea.astype(jnp.float32), tar_fea_n, fea_n, tar_mask, mask,
-            temp=cfg.softmax_temp, use_pallas=use_pallas)
-
-    warped_fea, flows = jax.vmap(warp_one, in_axes=1, out_axes=1)(
-        src_img_fea, src_fea_n, src_mask)              # (B,S,h,w,C), (B,S,h,w,2)
+    warped_fea, flows = transformation_warp_sources(
+        src_img_fea.astype(jnp.float32), tar_fea_n, src_fea_n,
+        tar_mask, src_mask, temp=cfg.softmax_temp,
+        use_pallas=bool(use_pallas))                   # (B,S,h,w,C), (B,S,h,w,2)
 
     out: dict[str, Any] = {}
     if return_flow:
@@ -288,27 +286,30 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
     tar_mask = resize_nearest(tar_bbox[..., None], (h, w))[..., 0]
 
-    def warp_one_source(fea_s, fea_n_s, mask_s):
-        fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape)
-        fea_n_b = jnp.broadcast_to(fea_n_s[None], (f,) + fea_n_s.shape)
-        mask_b = jnp.broadcast_to(mask_s[None], (f,) + mask_s.shape)
-        warped, _ = transformation_warp(
-            fea_b.astype(jnp.float32), tar_fea_n, fea_n_b, tar_mask, mask_b,
-            temp=cfg.softmax_temp, use_pallas=use_pallas)
-        return warped
-
-    warped = jax.vmap(warp_one_source, in_axes=0, out_axes=0)(
-        src_fea, src_fea_n, src_mask)            # (S, F, h, w, C)
+    warped = transformation_warp_clip(
+        src_fea.astype(jnp.float32), src_fea_n, src_mask,
+        tar_fea_n, tar_mask, temp=cfg.softmax_temp,
+        use_pallas=bool(use_pallas))             # (S, F, h, w, C)
     prop_fea = jnp.mean(warped, axis=0).astype(dt)
 
-    def fuse_one_source(fea_s):
-        fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape).astype(dt)
-        return mods.fuse_net.apply({"params": params["fuse_net"]},
-                                   fea_b, tar_fea)
+    if mods.fuse_net.n_blocks == 1:
+        # split form: per-pair work halves, mean commutes with the 1x1
+        from ..nn.fusenet import fuse_clip
+        syn_fea = fuse_clip(params["fuse_net"], src_fea.astype(jnp.float32),
+                            tar_fea.astype(jnp.float32),
+                            dtype=mods.fuse_net.dtype,
+                            precision=mods.fuse_net.precision)
+    else:
+        def fuse_one_source(fea_s):
+            fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape).astype(dt)
+            return mods.fuse_net.apply({"params": params["fuse_net"]},
+                                       fea_b, tar_fea)
 
-    syn_fea = jnp.mean(jax.vmap(fuse_one_source)(src_fea), axis=0)
+        syn_fea = jnp.mean(jax.vmap(fuse_one_source)(src_fea), axis=0)
 
-    rec_img, _ = mods.dec.apply({"params": params["dec"]}, prop_fea, syn_fea)
+    from ..nn.decoder import decoder_apply_fast
+    rec_img, _ = decoder_apply_fast(mods.dec, params["dec"], prop_fea,
+                                    syn_fea, return_fea=False)
     rec_img = rec_img.astype(jnp.float32)
     if cfg.use_fg_mask:
         rec_img = composite_foreground(rec_img, cfg)

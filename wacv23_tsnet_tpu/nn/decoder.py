@@ -11,10 +11,13 @@ drivers; model/TSNet.py:162-171).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.norms import instance_norm
 from ..ops.resize import upsample_bilinear_2x
+from ..ops.upconv import (conv7x7_phase, depth_to_space, instance_norm_phase,
+                          upsample2x_reflect_conv3)
 from .blocks import ResnetBlock, conv_init, reflect_pad
 
 
@@ -50,3 +53,68 @@ class Decoder(nn.Module):
                     kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
                     name="conv_out")(x)
         return jnp.tanh(x), fea
+
+
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
+                       syn_fea: jnp.ndarray, return_fea: bool = True):
+    """`Decoder.__call__` with the upsample stages phase-decomposed.
+
+    Identical math and param tree; each [bilinear-2x, reflect-pad, 3x3
+    conv] stage runs as ONE conv at input resolution with 4x output
+    channels + depth-to-space (ops.upconv) — MXU-shaped instead of
+    high-resolution/small-channel, and the 4x-size upsampled
+    intermediates never touch HBM. The LAST stage stays in phase layout
+    end-to-end: its instance norm and the final 7x7 conv (3 output
+    channels — the worst MXU shape in the model at full resolution) run
+    at half resolution on 4x channels (ops.upconv.conv7x7_phase), and
+    only the tanh'd RGB result is interleaved. Exact incl. borders.
+
+    `return_fea=False` skips materializing the full-resolution
+    penultimate feature map (clip inference never reads it).
+    """
+    dt = dec.dtype
+    prec = _PREC[dec.precision]
+
+    def conv(x, p, pad=0):
+        if pad:
+            x = reflect_pad(x, pad)
+        y = jax.lax.conv_general_dilated(
+            x, jnp.asarray(p["kernel"], dt), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+        return y + jnp.asarray(p["bias"], dt)
+
+    # XLA instance_norm throughout: a fused Pallas IN (ops.pallas_norms)
+    # measures no faster once the ~25 ms axon dispatch latency is
+    # subtracted, and a pallas_call inside a GSPMD-partitioned jit is
+    # NOT partitionable (it silently computes on wrong shards) — the
+    # XLA path keeps this function safe under the parallel.spmd mesh.
+    x = jnp.concatenate([prop_fea, syn_fea], axis=-1).astype(dt)
+    x = conv(x, params["map_conv"])
+    for j in range(dec.n_blocks):
+        blk = params[f"block{j}"]
+        h = nn.relu(instance_norm(conv(x, blk["conv1"], pad=1)))
+        x = x + instance_norm(conv(h, blk["conv2"], pad=1))
+    for i in range(dec.n_downsampling - 1):
+        up = params[f"up{i}"]
+        x = upsample2x_reflect_conv3(
+            x, jnp.asarray(up["kernel"], dt), jnp.asarray(up["bias"], dt),
+            precision=prec)
+        x = nn.relu(instance_norm(x))
+    up = params[f"up{dec.n_downsampling - 1}"]
+    x = upsample2x_reflect_conv3(
+        x, jnp.asarray(up["kernel"], dt), jnp.asarray(up["bias"], dt),
+        precision=prec, phase_out=True)
+    x = nn.relu(instance_norm_phase(x))
+    out = conv7x7_phase(x, jnp.asarray(params["conv_out"]["kernel"], dt),
+                        jnp.asarray(params["conv_out"]["bias"], dt),
+                        precision=prec)
+    rgb = jnp.tanh(depth_to_space(out))
+    fea = depth_to_space(x) if return_fea else None
+    return rgb, fea

@@ -2,14 +2,24 @@
 
 concat(source image feature, target label feature) -> one ResNet block at
 the doubled width -> 1x1 conv back to feat_ch.
+
+`fuse_clip` is the clip-inference specialization: with S sources shared
+by F driving frames, the concat-input convs are linear, so their
+source half runs once per SOURCE and their target half once per FRAME
+instead of once per (source x frame) pair; only the block's second conv
+(behind the IN+ReLU nonlinearity) remains per-pair. The mean over
+sources commutes with the final 1x1 conv, so that also runs once per
+frame. Per-pair FLOPs drop ~2x with identical math (same param tree).
 """
 
 from __future__ import annotations
 
-import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import flax.linen as nn
 
-from .blocks import ResnetBlock, conv_init
+from ..ops.norms import instance_norm
+from .blocks import ResnetBlock, conv_init, reflect_pad
 
 
 class FuseNet(nn.Module):
@@ -26,3 +36,59 @@ class FuseNet(nn.Module):
         x = nn.Conv(self.ngf // 2, (1, 1), kernel_init=conv_init,
                     dtype=self.dtype, precision=self.precision, name="conv")(x)
         return x
+
+
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
+def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
+              dtype=jnp.float32, precision: str = "highest") -> jnp.ndarray:
+    """mean_s FuseNet(src_fea[s], tar_fea[f]) for all frames, split form.
+
+    Exact algebraic restructuring of the generic path for S shared
+    sources x F driving frames (same `FuseNet` param tree):
+
+    - block conv1 acts on concat(a_s, t_f), so it splits into
+      conv1_src(a_s) (once per source) + conv1_tar(t_f) (once per frame);
+      only conv2, behind the IN+ReLU, stays per-pair.
+    - the final 1x1 conv is linear, so it commutes with the mean over
+      sources and runs once per frame on the meaned block output.
+
+    Args: params = FuseNet params (n_blocks == 1, the shipped config);
+    src_fea (S, h, w, C); tar_fea (F, h, w, C). Returns (F, h, w, C).
+    """
+    prec = _PREC[precision]
+    s, h, w, c = src_fea.shape
+    f = tar_fea.shape[0]
+    blk = params["block0"]
+    k1 = jnp.asarray(blk["conv1"]["kernel"], dtype)    # (3, 3, 2C, 2C)
+    b1 = jnp.asarray(blk["conv1"]["bias"], dtype)
+    k2 = jnp.asarray(blk["conv2"]["kernel"], dtype)
+    b2 = jnp.asarray(blk["conv2"]["bias"], dtype)
+    km = jnp.asarray(params["conv"]["kernel"], dtype)  # (1, 1, 2C, C)
+    bm = jnp.asarray(params["conv"]["bias"], dtype)
+    a = src_fea.astype(dtype)
+    t = tar_fea.astype(dtype)
+
+    def conv(x, k, pad=0):
+        if pad:
+            x = reflect_pad(x, pad)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+
+    c1a = conv(a, k1[:, :, :c, :], pad=1)              # (S, h, w, 2C)
+    c1t = conv(t, k1[:, :, c:, :], pad=1) + b1         # (F, h, w, 2C)
+    hp = (c1a[:, None] + c1t[None]).reshape(s * f, h, w, 2 * c)
+    hp = nn.relu(instance_norm(hp))
+    h2 = instance_norm(conv(hp, k2, pad=1) + b2)       # (S*F, h, w, 2C)
+    h2m = jnp.mean(h2.reshape(s, f, h, w, 2 * c).astype(jnp.float32),
+                   axis=0).astype(dtype)               # (F, h, w, 2C)
+    a_mean = jnp.mean(a.astype(jnp.float32), axis=0).astype(dtype)
+    x_mean = jnp.concatenate(
+        [jnp.broadcast_to(a_mean[None], (f, h, w, c)), t], axis=-1)
+    return conv(x_mean + h2m, km) + bm                 # (F, h, w, C)

@@ -193,14 +193,14 @@ def _transform_warp_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, fea_ref,
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))  # (TILE_T, S)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
     wmat = wx * wy
-    # HIGH (3-pass) suffices: each row reduces only 4 nonzero tent
-    # weights, and the warped features feed the decoder, not the
-    # temp-100 attention
+    # HIGHEST: Mosaic's dot lowering supports only DEFAULT/HIGHEST,
+    # and each row reduces only 4 nonzero tent weights so exactness is
+    # cheapest here anyway
     outw_ref[0] = jax.lax.dot_general(
         wmat, fea_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -304,3 +304,203 @@ def _tw_bwd(h, w, temp, residuals, g):
 
 
 transform_warp_fused.defvjp(_tw_fwd, _tw_bwd)
+
+
+# ---------------------------------------------------------------------------
+# multi-source fused transformation branch.
+#
+# The model runs the branch once per (sample, source) — or, on the clip
+# inference path, per (source, frame) — pair. Round 1 wrapped the fused
+# kernel in `vmap` over the source axis, which lowers the multi-output
+# pallas_call ~20x slower; the fix (VERDICT.md item 1) is to flatten the
+# pair axes INTO THE KERNEL GRID: a (G, NS, NF, tiles) grid whose
+# BlockSpec index maps pick the source block from grid axis 1 and the
+# target block from grid axis 2. No vmap, no broadcast materialization:
+# source features are fetched from HBM once per source (they stay
+# resident across the frame-tile iterations, which are innermost), and
+# target features once per (source, tile).
+#
+# Covers both call shapes with one kernel:
+#   train   (tsnet_forward):      G=batch, NS=n_source, NF=1
+#   clip    (decode_with_sources): G=1,     NS=n_source, NF=frames
+# ---------------------------------------------------------------------------
+
+
+def _pair_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, fea_ref,
+                 outw_ref, *outf, temp, h, w):
+    tt = t_ref[0, 0].astype(jnp.float32)           # (TILE_T, C)
+    ss = s_ref[0, 0].astype(jnp.float32)           # (T, C) normalized
+    logits = jax.lax.dot_general(
+        tt, ss, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (TILE_T, T)
+    mt = mt_ref[0, 0].astype(jnp.float32)          # (TILE_T, 1)
+    ms = ms_ref[0, 0].astype(jnp.float32)          # (1, T)
+    coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
+    z = temp * (logits * coeff)
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    flow = jax.lax.dot_general(
+        p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                              # (TILE_T, LANES)
+    if outf:
+        outf[0][0, 0, 0] = flow
+
+    # dense separable-tent bilinear warp (see transform_warp_fused)
+    ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
+    iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
+    sx = (s_ids % w).astype(jnp.float32)
+    sy = (s_ids // w).astype(jnp.float32)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
+    outw_ref[0, 0, 0] = jax.lax.dot_general(
+        wx * wy, fea_ref[0, 0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pairs_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
+                  temp, h, w, with_flow):
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    tile_t = min(_TILE_T, t)
+    kernel = functools.partial(_pair_kernel, temp=temp, h=h, w=w)
+    out_shape = [jax.ShapeDtypeStruct((g, ns, nf, t, c), jnp.float32)]
+    out_specs = [pl.BlockSpec(
+        (1, 1, 1, tile_t, c), lambda gi, si, fi, ti: (gi, si, fi, ti, 0),
+        memory_space=pltpu.VMEM)]
+    if with_flow:
+        out_shape.append(
+            jax.ShapeDtypeStruct((g, ns, nf, t, _LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec(
+            (1, 1, 1, tile_t, _LANES),
+            lambda gi, si, fi, ti: (gi, si, fi, ti, 0),
+            memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        grid=(g, ns, nf, t // tile_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_t, c),
+                         lambda gi, si, fi, ti: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, c),
+                         lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t, 1),
+                         lambda gi, si, fi, ti: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t),
+                         lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _LANES), lambda gi, si, fi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, c),
+                         lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * ns * nf * t * t * (2 * c + _LANES),
+            bytes_accessed=4 * (g * ns * t * c * 2 + g * nf * t * c
+                                + g * ns * nf * t * c),
+            transcendentals=g * ns * nf * t * t,
+        ),
+        interpret=_interpret(),
+    )(tar_fea_n, src_fea_n, mt, ms, grid_padded, src_fea)
+    return outs if with_flow else (outs[0],)
+
+
+def _pairs_ref(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
+               h, w, temp):
+    """Differentiable einsum+gather reference over the pair axes."""
+    def one_pair(fea, t_n, s_n, t_m, s_m):
+        return _transform_warp_ref(fea[None], t_n[None], s_n[None],
+                                   t_m[None], s_m[None], grid, h, w, temp)
+
+    def one_src(fea, s_n, s_m):  # maps over NF
+        w_, f_ = jax.vmap(one_pair, in_axes=(None, 0, None, 0, None))(
+            fea, tar_fea_n_g, s_n, tar_mask_g, s_m)
+        return w_[:, 0], f_[:, 0]                  # (NF, T, C), (NF, T, 2)
+
+    outs_w, outs_f = [], []
+    for gi in range(src_fea.shape[0]):
+        tar_fea_n_g, tar_mask_g = tar_fea_n[gi], tar_mask[gi]
+        w_, f_ = jax.vmap(one_src)(src_fea[gi], src_fea_n[gi], src_mask[gi])
+        outs_w.append(w_)
+        outs_f.append(f_)
+    return jnp.stack(outs_w), jnp.stack(outs_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
+                         grid, h: int, w: int, temp: float = 100.0):
+    """Grid-batched fused transformation branch over (group, src, tar) pairs.
+
+    Args:
+      src_fea:   (G, NS, T, C) un-normalized source features.
+      tar_fea_n: (G, NF, T, C) L2-normalized target label features.
+      src_fea_n: (G, NS, T, C) L2-normalized source features.
+      tar_mask:  (G, NF, T) / src_mask: (G, NS, T) bbox masks.
+      grid:      (T, 2) normalized source coordinates.
+
+    Returns (warped (G, NS, NF, T, C), flow (G, NS, NF, T, 2)) for every
+    (source, target) pair within each group; identical math to
+    masked_attention_flow + zeros-padded bilinear grid_sample.
+    """
+    out = _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
+                          grid, h, w, temp, with_flow=True)
+    return out[0], out[1][..., :2]
+
+
+def _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
+                    h, w, temp, with_flow):
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    if t % min(_TILE_T, t) != 0:
+        warped, flow = _pairs_ref(src_fea, tar_fea_n, src_fea_n, tar_mask,
+                                  src_mask, grid, h, w, temp)
+        flow = jnp.pad(flow, ((0, 0),) * 4 + ((0, _LANES - 2),))
+        return (warped, flow) if with_flow else (warped,)
+    grid_padded = jnp.zeros((t, _LANES), jnp.float32).at[:, :2].set(
+        grid.astype(jnp.float32))
+    return _pairs_pallas(
+        src_fea.astype(jnp.float32), tar_fea_n.astype(jnp.float32),
+        src_fea_n.astype(jnp.float32),
+        tar_mask.astype(jnp.float32).reshape(g, nf, t, 1),
+        src_mask.astype(jnp.float32).reshape(g, ns, 1, t),
+        grid_padded, temp, h, w, with_flow)
+
+
+def transform_warp_pairs_nf(src_fea, tar_fea_n, src_fea_n, tar_mask,
+                            src_mask, grid, h: int, w: int,
+                            temp: float = 100.0):
+    """Inference-only variant: returns just warped (G, NS, NF, T, C),
+    skipping the flow output's HBM write (the clip path never reads it).
+    Not differentiable — use transform_warp_pairs in training."""
+    return _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask,
+                           src_mask, grid, h, w, temp, with_flow=False)[0]
+
+
+def _pairs_fwd(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
+               h, w, temp):
+    out = transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask,
+                               src_mask, grid, h, w, temp)
+    return out, (src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid)
+
+
+def _pairs_bwd(h, w, temp, residuals, g):
+    _, vjp = jax.vjp(
+        lambda *a: _pairs_ref(*a, h=h, w=w, temp=temp), *residuals)
+    return vjp(g)
+
+
+transform_warp_pairs.defvjp(_pairs_fwd, _pairs_bwd)

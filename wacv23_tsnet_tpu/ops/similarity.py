@@ -162,3 +162,87 @@ def transformation_warp(
     flow = flow.reshape(b, h, w, 2)
     warped = grid_sample(src_img_fea, flow, align_corners=False)
     return warped, flow
+
+
+def transformation_warp_sources(
+    src_img_fea: jnp.ndarray,   # (B, S, h, w, C) un-normalized
+    tar_fea_n: jnp.ndarray,     # (B, h, w, C) L2-normalized
+    src_fea_n: jnp.ndarray,     # (B, S, h, w, C) L2-normalized
+    tar_mask: jnp.ndarray,      # (B, h, w)
+    src_mask: jnp.ndarray,      # (B, S, h, w)
+    temp: float = 100.0,
+    use_pallas: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Transformation branch for ALL sources of a batch in one call.
+
+    The default TPU path runs the fully-fused Pallas kernel with the
+    source axis flattened into the kernel grid (pallas_similarity.
+    transform_warp_pairs) — no vmap over sources, no broadcast copies.
+    `use_pallas=False` keeps the einsum + XLA-gather composition.
+
+    Returns (warped (B, S, h, w, C), flow (B, S, h, w, 2)).
+    """
+    b, s, h, w, c = src_img_fea.shape
+    if use_pallas:
+        from .pallas_similarity import transform_warp_pairs
+        t = h * w
+        grid = normalized_grid(h, w).reshape(t, 2)
+        warped, flow = transform_warp_pairs(
+            src_img_fea.reshape(b, s, t, c),
+            tar_fea_n.reshape(b, 1, t, c),
+            src_fea_n.reshape(b, s, t, c),
+            tar_mask.reshape(b, 1, t),
+            src_mask.reshape(b, s, t),
+            grid, h, w, temp)
+        return (warped[:, :, 0].reshape(b, s, h, w, c),
+                flow[:, :, 0].reshape(b, s, h, w, 2))
+
+    def warp_one(fea, fea_n, mask):
+        return transformation_warp(fea, tar_fea_n, fea_n, tar_mask, mask,
+                                   temp=temp, use_pallas=False)
+
+    return jax.vmap(warp_one, in_axes=1, out_axes=1)(
+        src_img_fea, src_fea_n, src_mask)
+
+
+def transformation_warp_clip(
+    src_fea: jnp.ndarray,       # (S, h, w, C) un-normalized
+    src_fea_n: jnp.ndarray,     # (S, h, w, C) L2-normalized
+    src_mask: jnp.ndarray,      # (S, h, w)
+    tar_fea_n: jnp.ndarray,     # (F, h, w, C) L2-normalized driving frames
+    tar_mask: jnp.ndarray,      # (F, h, w)
+    temp: float = 100.0,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Clip-inference transformation branch: every (source, frame) pair.
+
+    Source features are fetched into VMEM once per source and stay
+    resident across the frame iterations of the kernel grid. The flow is
+    never written back (the clip path only needs the warped features).
+
+    Returns warped (S, F, h, w, C).
+    """
+    s, h, w, c = src_fea.shape
+    f = tar_fea_n.shape[0]
+    t = h * w
+    if use_pallas:
+        from .pallas_similarity import transform_warp_pairs_nf
+        grid = normalized_grid(h, w).reshape(t, 2)
+        warped = transform_warp_pairs_nf(
+            src_fea.reshape(1, s, t, c),
+            tar_fea_n.reshape(1, f, t, c),
+            src_fea_n.reshape(1, s, t, c),
+            tar_mask.reshape(1, f, t),
+            src_mask.reshape(1, s, t),
+            grid, h, w, temp)
+        return warped[0].reshape(s, f, h, w, c)
+
+    def one_source(fea_s, fea_n_s, mask_s):
+        fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape)
+        fea_n_b = jnp.broadcast_to(fea_n_s[None], (f,) + fea_n_s.shape)
+        mask_b = jnp.broadcast_to(mask_s[None], (f,) + mask_s.shape)
+        warped, _ = transformation_warp(fea_b, tar_fea_n, fea_n_b, tar_mask,
+                                        mask_b, temp=temp, use_pallas=False)
+        return warped
+
+    return jax.vmap(one_source)(src_fea, src_fea_n, src_mask)

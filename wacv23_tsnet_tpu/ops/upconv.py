@@ -1,0 +1,276 @@
+"""Phase-decomposed [bilinear-2x upsample -> reflect-pad -> 3x3 conv].
+
+The decoder's upsample stages (reference model/TSNet.py:144-153) compute
+a 3x3 conv on the 2x-bilinear-upsampled tensor. On TPU that shape is
+hostile: the conv runs at the DOUBLED resolution with the HALVED channel
+count, underutilizing the 128x128 MXU, and the upsampled intermediate
+(4x the input pixels) makes a round trip through HBM.
+
+Because both the upsample and the conv are linear, the composition is
+itself a convolution of the INPUT — one 3x3 kernel per output phase
+(py, px) in {0,1}^2. With half-pixel centers (align_corners=False),
+output row 2i+p of the upsample reads
+
+    u[2i]   = 0.25 x[i-1] + 0.75 x[i]        (edge-clamped at i=0)
+    u[2i+1] = 0.75 x[i]   + 0.25 x[i+1]      (edge-clamped at i=H-1)
+
+so a 3-tap conv over u collapses to a 3-tap conv over x with
+phase-mixed weights (W1D below). The fused op therefore runs ONE conv at
+input resolution with 4x the output channels — MXU-shaped — followed by
+a free depth-to-space interleave. FLOPs are identical; the upsampled
+intermediate never exists.
+
+Edge exactness: the interior identity assumes unclamped upsample taps
+and no reflection, which fails on a 2-pixel ring of the output (the
+upsample clamps at the borders and the conv pad reflects the upsampled
+tensor, neither of which is expressible as a padding of x). The ring is
+recomputed exactly with the reference composition on 3-pixel slabs of
+the input — O(H) work — and overwritten, so the op is EXACT everywhere,
+not approximately equal.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .resize import upsample_bilinear_2x
+
+_PREC = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+# W1D[p, k, d]: coefficient of x[i + d - 1] in upsample tap u[2i + p + k - 1]
+# (the k-th of the three rows a VALID 3-tap conv reads for output 2i + p).
+_W1D = jnp.asarray(
+    [
+        [[0.75, 0.25, 0.0], [0.25, 0.75, 0.0], [0.0, 0.75, 0.25]],
+        [[0.25, 0.75, 0.0], [0.0, 0.75, 0.25], [0.0, 0.25, 0.75]],
+    ],
+    jnp.float32,
+)
+
+
+def _conv(x: jnp.ndarray, k: jnp.ndarray, precision) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=precision)
+
+
+def _reference(x: jnp.ndarray, kernel: jnp.ndarray, precision) -> jnp.ndarray:
+    """The unfused composition (also the correctness oracle in tests)."""
+    u = upsample_bilinear_2x(x)
+    u = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return _conv(u, kernel, precision)
+
+
+def phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) conv kernel -> (3, 3, Ci, 4*Co) phase kernel.
+
+    Output channel layout: ((py * 2 + px) * Co + o), matching
+    `depth_to_space` below.
+    """
+    w = _W1D.astype(kernel.dtype)
+    kp = jnp.einsum("pad,qbe,abio->deipqo", w, w, kernel)
+    kh, kw, ci, co = kernel.shape
+    return kp.reshape(kh, kw, ci, 4 * co)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 4C) with ((py*2+px)*C + c) channel layout -> (B, 2H, 2W, C)."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def _to_phase_rows(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2, 2W, C) interleaved rows -> (B, 1, W, 4C) phase layout."""
+    b, _, w2, c = y.shape
+    w = w2 // 2
+    y = y.reshape(b, 1, 2, w, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 1, w, 4 * c)
+
+
+def _to_phase_cols(y: jnp.ndarray) -> jnp.ndarray:
+    """(B, 2H, 2, C) interleaved cols -> (B, H, 1, 4C) phase layout."""
+    b, h2, _, c = y.shape
+    h = h2 // 2
+    y = y.reshape(b, h, 2, 1, 2, c).transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, h, 1, 4 * c)
+
+
+def upsample2x_reflect_conv3(x: jnp.ndarray, kernel: jnp.ndarray,
+                             bias: jnp.ndarray | None = None,
+                             precision: str = "highest",
+                             phase_out: bool = False) -> jnp.ndarray:
+    """Exact fused [upsample_bilinear_2x -> reflect_pad(1) -> conv3x3 VALID].
+
+    Args:
+      x:      (B, H, W, Ci), H, W >= 3.
+      kernel: (3, 3, Ci, Co) HWIO conv kernel.
+      bias:   optional (Co,).
+      phase_out: return the (B, H, W, 4*Co) phase-layout tensor instead
+        of interleaving — callers that keep computing in the phase
+        domain (instance_norm_phase, conv7x7_phase) skip the
+        depth-to-space round trip entirely.
+
+    Returns (B, 2H, 2W, Co) — or its phase layout — bit-comparable to
+    the composition up to matmul reassociation.
+    """
+    prec = _PREC[precision] if isinstance(precision, str) else precision
+    b, h, w, _ = x.shape
+
+    kp = phase_kernel(kernel)
+    # zero padding (free in the conv): it only corrupts the border ring,
+    # which the slab recomputation below overwrites with exact values
+    y = jax.lax.conv_general_dilated(
+        x, kp, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec)                              # (B, H, W, 4Co) phase
+
+    # exact 2-pixel border ring: the reference composition on 3-wide
+    # slabs (their first 4 upsampled rows/cols are unclamped, so the
+    # first 2 output rows/cols are exact; same mirrored at the far
+    # edge). 2 interleaved rows == 1 phase row.
+    top = _reference(x[:, :3], kernel, prec)[:, :2]
+    bot = _reference(x[:, -3:], kernel, prec)[:, -2:]
+    y = y.at[:, :1].set(_to_phase_rows(top))
+    y = y.at[:, -1:].set(_to_phase_rows(bot))
+    left = _reference(x[:, :, :3], kernel, prec)[:, :, :2]
+    right = _reference(x[:, :, -3:], kernel, prec)[:, :, -2:]
+    y = y.at[:, :, :1].set(_to_phase_cols(left))
+    y = y.at[:, :, -1:].set(_to_phase_cols(right))
+
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y if phase_out else depth_to_space(y)
+
+
+def instance_norm_phase(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """`ops.norms.instance_norm` of the interleaved tensor, computed in
+    phase layout: statistics reduce over space AND the 4 phase copies of
+    each channel. x is (B, H, W, 4C) with ((py*2+px)*C + c) layout."""
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    xf = x.astype(jnp.float32).reshape(b, h, w, 4, c)
+    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return y.reshape(b, h, w, c4).astype(x.dtype)
+
+
+def conv7x7_phase_kernel(k7: jnp.ndarray) -> jnp.ndarray:
+    """(7, 7, Ci, Co) -> (5, 5, 4Ci, 4Co) phase-domain kernel.
+
+    An output pixel at interleaved position (2i+p, 2j+q) reads
+    interleaved rows 2i+p-3 .. 2i+p+3; in phase layout those live at
+    phase rows i-2 .. i+2 with tap offset dy = 2*dy' + py - p. Taps with
+    |dy| > 3 land in a zero-padded copy of k7, vanishing exactly.
+    """
+    ci, co = k7.shape[2], k7.shape[3]
+    k7p = jnp.pad(k7, ((2, 2), (2, 2), (0, 0), (0, 0)))    # (11, 11, Ci, Co)
+    import numpy as np
+    a = np.arange(5)
+    p_ = np.arange(2)
+    py = np.arange(2)
+    # IY[a, py, p] = (2*(a-2) + py - p) + 3 + 2 pad offset
+    iy = (2 * (a[:, None, None] - 2) + py[None, :, None]
+          - p_[None, None, :]) + 5                         # (5, 2, 2)
+    # gather: K5[a, b, py, px, ci, p, q, co]
+    k5 = k7p[iy[:, None, :, None, :, None],
+             iy[None, :, None, :, None, :]]                # (5,5,2,2,2,2,Ci,Co)
+    k5 = k5.transpose(0, 1, 2, 3, 6, 4, 5, 7)              # a b py px ci p q co
+    return k5.reshape(5, 5, 4 * ci, 4 * co)
+
+
+def _mix_rows(x: jnp.ndarray, c: int, i_py0: int, i_py1: int) -> jnp.ndarray:
+    """One reflect-pad phase row: py=0 channels from row i_py0, py=1 from
+    i_py1 (reflection preserves parity, so phases never cross; px and c
+    are contiguous channel halves — pure slices, no relayout)."""
+    return jnp.concatenate(
+        [x[:, i_py0:i_py0 + 1, :, :2 * c], x[:, i_py1:i_py1 + 1, :, 2 * c:]],
+        axis=-1)
+
+
+def _mix_cols(x: jnp.ndarray, c: int, j_px0: int, j_px1: int) -> jnp.ndarray:
+    """One reflect-pad phase column: px=0 channel quarters from column
+    j_px0, px=1 quarters from j_px1."""
+    return jnp.concatenate(
+        [x[:, :, j_px0:j_px0 + 1, 0:c], x[:, :, j_px1:j_px1 + 1, c:2 * c],
+         x[:, :, j_px0:j_px0 + 1, 2 * c:3 * c],
+         x[:, :, j_px1:j_px1 + 1, 3 * c:]], axis=-1)
+
+
+def _row_padded(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    """reflect_pad(interleaved, 3)'s rows in phase layout (+2 each side).
+    e.g. padded phase row -1 holds interleaved rows (-2, -1) -> reflected
+    (2, 1) = (row1.py0, row0.py1)."""
+    h = x.shape[1]
+    return jnp.concatenate(
+        [_mix_rows(x, c, 2, 1), _mix_rows(x, c, 1, 0), x,
+         _mix_rows(x, c, h - 1, h - 2), _mix_rows(x, c, h - 2, h - 3)],
+        axis=1)
+
+
+def _col_padded(x: jnp.ndarray, c: int) -> jnp.ndarray:
+    w = x.shape[2]
+    return jnp.concatenate(
+        [_mix_cols(x, c, 2, 1), _mix_cols(x, c, 1, 0), x,
+         _mix_cols(x, c, w - 1, w - 2), _mix_cols(x, c, w - 2, w - 3)],
+        axis=2)
+
+
+def conv7x7_phase(x_phase: jnp.ndarray, k7: jnp.ndarray,
+                  bias: jnp.ndarray | None = None,
+                  precision: str = "highest") -> jnp.ndarray:
+    """Exact [reflect_pad(3) -> conv7x7 VALID] of the interleaved tensor,
+    computed in phase layout.
+
+    The decoder's final 7x7 conv maps to 3 output channels — at 256^2
+    that lane-pads 3 -> 128 on the MXU (~40x waste, measured 42 ms/clip).
+    In phase layout it is a 5x5 conv over 4*Ci channels at half
+    resolution with 4*Co outputs: 4x fewer positions, 4x wider channels.
+
+    The bulk conv uses free zero padding; only the 2-pixel output ring
+    sees the reflect-pad values, so it is recomputed exactly from
+    6-row/6-col slabs carrying the true phase-mixed pad rows (assembling
+    the mixed padding for the FULL tensor relayouts ~2 GB through HBM —
+    measured 71 ms/clip — whereas the slabs are O(H)).
+
+    Args: x_phase (B, H, W, 4Ci) phase layout; k7 (7, 7, Ci, Co).
+    Returns (B, H, W, 4Co) phase layout (depth_to_space to interleave).
+    """
+    prec = _PREC[precision] if isinstance(precision, str) else precision
+    ci = k7.shape[2]
+    k5 = conv7x7_phase_kernel(k7)
+    h, w = x_phase.shape[1:3]
+    y = jax.lax.conv_general_dilated(
+        x_phase, k5, (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+
+    # exact ring: rows 0..1 read padded rows -2..3 => a 6-row slab with
+    # the true pad rows on top (cols padded the same separable way)
+    top = jnp.concatenate(
+        [_mix_rows(x_phase, ci, 2, 1), _mix_rows(x_phase, ci, 1, 0),
+         x_phase[:, :4]], axis=1)
+    bot = jnp.concatenate(
+        [x_phase[:, -4:], _mix_rows(x_phase, ci, h - 1, h - 2),
+         _mix_rows(x_phase, ci, h - 2, h - 3)], axis=1)
+    y = y.at[:, :2].set(_conv(_col_padded(top, ci), k5, prec))
+    y = y.at[:, -2:].set(_conv(_col_padded(bot, ci), k5, prec))
+    left = jnp.concatenate(
+        [_mix_cols(x_phase, ci, 2, 1), _mix_cols(x_phase, ci, 1, 0),
+         x_phase[:, :, :4]], axis=2)
+    right = jnp.concatenate(
+        [x_phase[:, :, -4:], _mix_cols(x_phase, ci, w - 1, w - 2),
+         _mix_cols(x_phase, ci, w - 2, w - 3)], axis=2)
+    y = y.at[:, :, :2].set(_conv(_row_padded(left, ci), k5, prec))
+    y = y.at[:, :, -2:].set(_conv(_row_padded(right, ci), k5, prec))
+
+    if bias is not None:
+        y = y + jnp.tile(bias, 4).astype(y.dtype)
+    return y

@@ -28,8 +28,21 @@ from .state import TSNetTrainState, adam_transform
 
 def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
                     d_lr_factor: float = 0.5, beta1: float = 0.5,
-                    use_pallas: bool = True, donate: bool = True):
-    """Build the jitted train step for this model configuration."""
+                    use_pallas: bool = True, donate: bool = True,
+                    single_forward: bool = True):
+    """Build the jitted train step for this model configuration.
+
+    `single_forward=True` (default) runs the generator forward ONCE per
+    step, like the torch reference, whose single autograd graph serves
+    both the (detached) D update and the G update
+    (model/TSNet.py:432-460): the forward runs under `jax.vjp`, the D
+    phase consumes the stop-gradiented reconstruction, and the G-phase
+    loss — evaluated against the UPDATED discriminator — backpropagates
+    through the saved vjp. `False` keeps the two-forward formulation
+    (one `train=False` forward for the D fake, one inside the G grad
+    closure); XLA cannot CSE across the value_and_grad boundary, so it
+    really does pay the extra generator forward.
+    """
     cfg = mods.cfg
     opt = adam_transform(beta1=beta1)
     vgg = VGG19Features(dtype=mods.dtype)
@@ -55,13 +68,19 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
             total = total + losses["DF"]
         return total, losses
 
-    def g_losses(gen_params, disc_params, vgg_params, batch):
+    def gen_outputs(gen_params, batch):
+        """The generator forward; returns exactly the values the G loss
+        reads, so its vjp closes over one forward's residuals."""
         out = tsnet_forward(
             mods, gen_params,
             batch["src_img"], batch["src_lbl"], batch["src_bbox"],
             batch["tar_lbl"], batch["tar_bbox"], tar_img=batch["tar_img"],
             train=True, use_pallas=use_pallas)
-        rec = out["rec_img"]
+        align = out["loss_align"] if cfg.use_align_loss else jnp.float32(0.0)
+        return out["rec_img"], out["loss_warp"], align
+
+    def g_losses(outs, disc_params, vgg_params, batch):
+        rec, loss_warp, loss_align = outs
         tar = batch["tar_img"]
         fake_st = jnp.concatenate([batch["tar_lbl"], rec], axis=-1)
         real_st = jnp.concatenate([batch["tar_lbl"], tar], axis=-1)
@@ -75,12 +94,12 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
             "G_VGG": cfg.lambda_vgg * vgg_perceptual_loss(
                 vgg, vgg_params, rec, jax.lax.stop_gradient(tar)),
             "grad_G": cfg.lambda_grad * gradient_loss(rec, tar),
-            "warp": out["loss_warp"],
+            "warp": loss_warp,
         }
         losses["G"] = losses["G_GAN"] + losses["G_FML"] + losses["G_VGG"]
         total = losses["G"] + losses["grad_G"] + losses["warp"]
         if cfg.use_align_loss:
-            losses["align"] = out["loss_align"]
+            losses["align"] = loss_align
             total = total + losses["align"]
         if cfg.use_face_d:
             fake_face = crop_faces(rec, batch["tar_lbl"])
@@ -96,18 +115,20 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
             losses["GF"] = (losses["GF_GAN"] + losses["GF_FML"]
                             + losses["GF_VGG"])
             total = total + losses["GF"]
-        return total, (losses, rec)
+        return total, losses
 
     def train_step(state: TSNetTrainState, batch: dict[str, Any],
                    lr: jax.Array):
-        # ---- D phase: fake from the CURRENT generator, detached --------
-        out = tsnet_forward(
-            mods, state.gen_params,
-            batch["src_img"], batch["src_lbl"], batch["src_bbox"],
-            batch["tar_lbl"], batch["tar_bbox"], tar_img=batch["tar_img"],
-            train=False, use_pallas=use_pallas)
-        rec_detached = jax.lax.stop_gradient(out["rec_img"])
+        # ---- generator forward (ONCE), vjp saved for the G phase -------
+        if single_forward:
+            outs, gen_vjp = jax.vjp(
+                lambda gp: gen_outputs(gp, batch), state.gen_params)
+        else:
+            outs = gen_outputs(state.gen_params, batch)
+        rec = outs[0]
+        rec_detached = jax.lax.stop_gradient(rec)
 
+        # ---- D phase: fake from the CURRENT generator, detached --------
         (_, d_metrics), d_grads = jax.value_and_grad(
             d_losses, has_aux=True)(state.disc_params, batch, rec_detached)
         d_updates, disc_opt_state = opt.update(d_grads, state.disc_opt_state,
@@ -117,9 +138,16 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
                                    state.disc_params, d_updates)
 
         # ---- G phase: against the UPDATED discriminator ----------------
-        (_, (g_metrics, rec)), g_grads = jax.value_and_grad(
-            g_losses, has_aux=True)(state.gen_params, disc_params,
-                                    state.vgg_params, batch)
+        if single_forward:
+            (_, g_metrics), out_cts = jax.value_and_grad(
+                g_losses, has_aux=True)(outs, disc_params,
+                                        state.vgg_params, batch)
+            (g_grads,) = gen_vjp(out_cts)
+        else:
+            (_, g_metrics), g_grads = jax.value_and_grad(
+                lambda gp: g_losses(gen_outputs(gp, batch), disc_params,
+                                    state.vgg_params, batch),
+                has_aux=True)(state.gen_params)
         g_updates, gen_opt_state = opt.update(g_grads, state.gen_opt_state,
                                               state.gen_params)
         subnet_lr = {"img_enc": lr, "lbl_enc": lr, "dec": lambda_dec * lr,
