@@ -65,12 +65,31 @@ def test_pose_jax_rasterizer_agrees_with_cpu_tier():
 
     for gi, ci in zip(got, cpu_maps):
         assert gi.sum() > 0
-        # strokes differ (curves vs segments, square vs round brush) but
-        # backgrounds and label classes must agree almost everywhere
         agreement = (gi == ci).mean()
-        assert agreement > 0.97, agreement
-        # same set of limb classes present
-        assert set(np.unique(gi)) == set(np.unique(ci))
+        assert agreement > 0.995, agreement
+        # same set of limb classes present (a class the CPU tier keeps
+        # by only a pixel or two may round away under overdraw)
+        for cls in np.unique(ci):
+            if (ci == cls).sum() > 2:
+                assert cls in gi, cls
+        for cls in np.unique(gi):
+            if (gi == cls).sum() > 2:
+                assert cls in ci, cls
+        # quantified stroke-geometry divergence (VERDICT.md item 7): the
+        # device tier reproduces the square-brush Minkowski sums and
+        # endpoint disks; residual drift is the int cast of sample
+        # positions and border clamping. Measured 0.92-0.93 foreground /
+        # 0.84-0.86 mean per-class IoU on these frames.
+        fg_iou = ((gi > 0) & (ci > 0)).sum() / max(((gi > 0) | (ci > 0)).sum(), 1)
+        assert fg_iou > 0.85, fg_iou
+        ious = []
+        for cls in np.unique(ci):
+            if cls == 0:
+                continue
+            inter = ((gi == cls) & (ci == cls)).sum()
+            union = ((gi == cls) | (ci == cls)).sum()
+            ious.append(inter / max(union, 1))
+        assert np.mean(ious) > 0.75, np.mean(ious)
 
 
 @needs_reference

@@ -7,17 +7,27 @@ label-class maps ON TPU, so a driving video streams end-to-end on device
 JAX preprocessing stage").
 
 Formulation: every skeleton edge is a segment; a pixel takes the class
-of the LAST edge (stamping order, like the CPU tier) whose point-to-
-segment distance is within that edge's brush radius. That is a dense
+of the LAST edge (stamping order, like the CPU tier) that covers it.
+Coverage reproduces the CPU tier's stroke geometry as a dense
 (pixels x edges) distance computation — pure VPU work that vectorizes
-over frames with `vmap`, no scatter.
+over frames with `vmap`, no scatter:
 
-Documented divergence from the CPU oracle tier (`rasterize.py`): limbs
-are straight segments with a round brush instead of quadratic
-least-squares curves with a square brush. Strokes differ by a pixel or
-two of curvature; the label SEMANTICS (class ids, topology, widths,
-order) are identical. Training uses the CPU tier; this tier serves
-high-throughput inference.
+- the CPU tier stamps an asymmetric square brush [-bw, bw) at unit-step
+  int-cast samples along each edge (stamp_edge); the union of those
+  squares is the Minkowski sum segment (+) square, tested here exactly
+  as "L-inf distance from (pixel + 0.5) to the segment <= bw - 0.5"
+  (the +0.5 models the int cast's floor in expectation);
+- pose edges add the reference's radius-2bw endpoint disks
+  (stamp_edge endpoints=True), tested as an exact integer disk;
+- every shipped edge is a 2-point pair, so the CPU tier's "quadratic
+  curve fit" degenerates to a straight line — segments are NOT an
+  approximation (data/rasterize.py render_person draws pairwise).
+
+Remaining documented divergences, bounded by tests/test_rasterize_jax
+per-class IoU assertions: the int cast of sample positions (<= half a
+pixel of stroke shift) and the CPU tier's border clamping (strokes pile
+up at canvas edges instead of clipping). Training uses the CPU tier;
+this tier serves high-throughput inference.
 """
 
 from __future__ import annotations
@@ -62,6 +72,39 @@ def _build_edge_table(basic_point_only: bool = False,
     return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3]
 
 
+def _linf_seg_dist(pix: jnp.ndarray, a: jnp.ndarray,
+                   b: jnp.ndarray) -> jnp.ndarray:
+    """min over the segment [a, b] of max(|dx|, |dy|) from (pix + 1).
+
+    pix (P, 2), a/b (E, 2) -> (P, E). The CPU tier stamps the square
+    [floor(s)-bw, floor(s)+bw-1]^2 at unit-step samples s along the
+    edge; pixel p is covered iff some s lies in the box
+    [p-bw+1, p+bw+1)^2 — i.e. iff the L-inf distance from (p+1) to the
+    segment is < bw. The distance is exact: it is piecewise linear in
+    the segment parameter t, so its minimum is at an endpoint, a
+    per-axis zero, or an |dx| == |dy| crossing — six candidates
+    evaluated in closed form.
+    """
+    u = (pix[:, None, :] + 1.0) - a[None, :, :]            # (P, E, 2)
+    v = (b - a)[None]                                      # (1, E, 2)
+
+    def safe_div(num, den):
+        return num / jnp.where(jnp.abs(den) < 1e-8, 1e-8, den)
+
+    cands = jnp.stack([
+        jnp.zeros_like(u[..., 0]),
+        jnp.ones_like(u[..., 0]),
+        safe_div(u[..., 0], v[..., 0]),
+        safe_div(u[..., 1], v[..., 1]),
+        safe_div(u[..., 0] - u[..., 1], v[..., 0] - v[..., 1]),
+        safe_div(u[..., 0] + u[..., 1], v[..., 0] + v[..., 1]),
+    ], axis=-1)                                            # (P, E, 6)
+    t = jnp.clip(cands, 0.0, 1.0)
+    dx = jnp.abs(u[..., 0:1] - t * v[..., 0:1])
+    dy = jnp.abs(u[..., 1:2] - t * v[..., 1:2])
+    return jnp.min(jnp.maximum(dx, dy), axis=-1)           # (P, E)
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "basic_point_only",
                                              "remove_face_labels"))
 def rasterize_pose_clip(pose: jnp.ndarray, face: jnp.ndarray,
@@ -98,13 +141,17 @@ def rasterize_pose_clip(pose: jnp.ndarray, face: jnp.ndarray,
         valid = (jnp.all(a != 0, axis=1) & jnp.all(b != 0, axis=1))
         bw = jnp.where(group == 0, pbw, hbw).astype(jnp.float32)
 
-        ab = b - a                                         # (E, 2)
-        ab_len2 = jnp.maximum(jnp.sum(ab * ab, axis=1), 1e-8)
-        ap = pix[:, None, :] - a[None, :, :]               # (P, E, 2)
-        t = jnp.clip(jnp.sum(ap * ab[None], axis=-1) / ab_len2, 0.0, 1.0)
-        closest = a[None] + t[..., None] * ab[None]        # (P, E, 2)
-        d2 = jnp.sum((pix[:, None, :] - closest) ** 2, axis=-1)
-        hit = (d2 <= bw[None] ** 2) & valid[None]          # (P, E)
+        # stroke body: square-brush Minkowski sum (see _linf_seg_dist)
+        hit = _linf_seg_dist(pix, a, b) < bw[None]
+        # pose edges also stamp radius-2bw endpoint disks
+        # (stamp_edge endpoints=True): exact integer-offset disks around
+        # the int-cast endpoints
+        af = jnp.floor(a)
+        bf = jnp.floor(b)
+        d2a = jnp.sum((pix[:, None, :] - af[None]) ** 2, axis=-1)
+        d2b = jnp.sum((pix[:, None, :] - bf[None]) ** 2, axis=-1)
+        dots = (jnp.minimum(d2a, d2b) < 4.0 * bw[None] ** 2) & (group == 0)
+        hit = (hit | dots) & valid[None]                   # (P, E)
 
         # stamping order: the LAST hitting edge wins
         order = jnp.arange(hit.shape[1], dtype=jnp.int32)
@@ -143,13 +190,8 @@ def rasterize_face_clip(keypoints: jnp.ndarray, bw: jnp.ndarray,
     def one(kp, bw_f):
         a = kp[si]
         b = kp[ei]
-        ab = b - a
-        ab_len2 = jnp.maximum(jnp.sum(ab * ab, axis=1), 1e-8)
-        ap = pix[:, None, :] - a[None, :, :]
-        t = jnp.clip(jnp.sum(ap * ab[None], axis=-1) / ab_len2, 0.0, 1.0)
-        closest = a[None] + t[..., None] * ab[None]
-        d2 = jnp.sum((pix[:, None, :] - closest) ** 2, axis=-1)
-        return jnp.any(d2 <= bw_f ** 2, axis=1).reshape(h, w).astype(jnp.int32)
+        hit = _linf_seg_dist(pix, a, b) < bw_f
+        return jnp.any(hit, axis=1).reshape(h, w).astype(jnp.int32)
 
     return jax.vmap(one)(keypoints.astype(jnp.float32),
                          bw.astype(jnp.float32))
