@@ -86,7 +86,71 @@ def measure_ours() -> float:
     fps = CLIP_FRAMES / dt
     log(f"[bench] ours: {dt * 1e3:.1f} ms / {CLIP_FRAMES} frames "
         f"= {fps:.2f} frames/sec/chip")
-    return fps
+
+    # XLA's own cost model for the compiled clip graph -> FLOPs/frame and
+    # MFU against the v5e bf16 peak (197 TFLOP/s). Logical FLOPs: the
+    # fp32-HIGHEST similarity matmuls physically run more MXU passes than
+    # counted here, so true utilization is higher than this number.
+    flops_per_frame = None
+    try:
+        cost = jax.jit(lambda p, *a: fwd(p, *a)).lower(*args).compile(
+        ).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_frame = float(cost["flops"]) / CLIP_FRAMES
+        log(f"[bench] {flops_per_frame / 1e9:.1f} GFLOP/frame (XLA cost "
+            f"analysis)")
+    except Exception as e:                            # pragma: no cover
+        log(f"[bench] cost_analysis unavailable: {e}")
+    return fps, flops_per_frame
+
+
+V5E_BF16_PEAK = 197e12
+
+
+def measure_train_step() -> float:
+    """ms/step of the full jitted GAN step at the shipped training scale
+    (bs=15, 256^2, face config) on one chip."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from wacv23_tsnet_tpu.configs import face_config
+    from wacv23_tsnet_tpu.models import TSNetModules
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = face_config()
+    mods = TSNetModules(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(0), vgg_params=vgg)
+    rng = np.random.default_rng(0)
+    bs, hw, l, s = 15, cfg.image_size, cfg.label_nc, cfg.n_source
+    batch = {k: jnp.asarray(v) for k, v in {
+        "src_img": rng.random((bs, s, hw, hw, 3), np.float32),
+        "src_lbl": rng.integers(0, 2, (bs, s, hw, hw, l)).astype(np.float32),
+        "src_bbox": rng.integers(0, 2, (bs, s, hw, hw)).astype(np.float32),
+        "tar_img": rng.random((bs, hw, hw, 3), np.float32),
+        "tar_lbl": rng.integers(0, 2, (bs, hw, hw, l)).astype(np.float32),
+        "tar_bbox": rng.integers(0, 2, (bs, hw, hw)).astype(np.float32),
+    }.items()}
+    step = make_train_step(mods, donate=False)
+    t0 = time.perf_counter()
+    state, _, r = step(state, batch, jnp.float32(2e-4))
+    float(jnp.sum(r))
+    log(f"[bench] train step compile+1st: {time.perf_counter() - t0:.1f}s")
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _, r = step(state, batch, jnp.float32(2e-4))
+    float(jnp.sum(r))
+    ms = (time.perf_counter() - t0) / iters * 1000
+    log(f"[bench] train: {ms:.0f} ms/step (bs=15, 256^2, single-forward)")
+    return ms
 
 
 def measure_torch_reference() -> dict:
@@ -198,14 +262,27 @@ def get_baseline() -> dict:
 
 def main():
     baseline = get_baseline()
-    fps = measure_ours()
-    print(json.dumps({
+    fps, flops_per_frame = measure_ours()
+    try:
+        train_ms = round(measure_train_step(), 1)
+    except Exception as e:                            # pragma: no cover
+        log(f"[bench] train-step bench failed: {e}")
+        train_ms = None
+    record = {
         "metric": "face retargeting streaming inference, 256x256, "
                   "n_source=3, 1 chip",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / baseline["frames_per_sec"], 2),
-    }))
+        "baseline_device": baseline.get("device", "cpu"),
+        "train_ms_per_step": train_ms,
+        "train_config": "bs=15, 256^2, face, single jitted D+G step",
+    }
+    if flops_per_frame:
+        record["gflop_per_frame"] = round(flops_per_frame / 1e9, 1)
+        record["mfu_vs_bf16_peak"] = round(
+            flops_per_frame * fps / V5E_BF16_PEAK, 4)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

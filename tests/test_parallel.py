@@ -129,3 +129,69 @@ def test_param_sharding_rule():
     assert sh["fuse_net"]["block0"]["conv2"]["kernel"].spec == \
         P(None, None, "model", None)
     assert sh["img_enc"]["conv_in"]["kernel"].spec == P()
+
+
+def test_dp_clip_inference_pallas_shardmap_matches_single_device():
+    """The fused Pallas kernel under SPMD: frames shard over `data`, the
+    kernel runs per shard via shard_map (a pallas_call is opaque to
+    GSPMD — VERDICT.md round-1 item 6)."""
+    cfg = toy_config()
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(1))
+    args = _clip_args(cfg)
+
+    want = jax.jit(
+        lambda p, *a: tsnet_forward_clip(mods, p, *a, use_pallas=True)
+    )(params, *args)
+
+    mesh = make_mesh(8, model_parallel=1)
+    run = make_parallel_clip_infer(mods, mesh, use_pallas=True)
+    got = run(params, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-5)
+
+
+def test_dp_train_step_pallas_shardmap_matches_single_device():
+    """One DP GAN step with the fused kernel under shard_map equals the
+    single-device step (same params, same batch)."""
+    import warnings
+
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.parallel import make_parallel_train_step
+    from wacv23_tsnet_tpu.parallel.spmd import shard_state
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = toy_config()
+    mods = TSNetModules(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(0), vgg_params=vgg)
+    bs, hw, l, s = 8, cfg.image_size, cfg.label_nc, cfg.n_source
+    batch = {k: jnp.asarray(v) for k, v in {
+        "src_img": RNG.random((bs, s, hw, hw, 3), np.float32),
+        "src_lbl": RNG.integers(0, 2, (bs, s, hw, hw, l)).astype(np.float32),
+        "src_bbox": RNG.integers(0, 2, (bs, s, hw, hw)).astype(np.float32),
+        "tar_img": RNG.random((bs, hw, hw, 3), np.float32),
+        "tar_lbl": RNG.integers(0, 2, (bs, hw, hw, l)).astype(np.float32),
+        "tar_bbox": RNG.integers(0, 2, (bs, hw, hw)).astype(np.float32),
+    }.items()}
+    lr = jnp.float32(2e-4)
+
+    ref_step = make_train_step(mods, donate=False, use_pallas=True)
+    _, want_metrics, want_rec = ref_step(state, batch, lr)
+
+    mesh = make_mesh(8, model_parallel=1)
+    state_dp = shard_state(state, mesh, tensor_parallel=False)
+    batch_dp = shard_batch(batch, mesh)
+    step = make_parallel_train_step(mods, mesh, spatial_parallel=False,
+                                    use_pallas=True, donate=False)
+    _, got_metrics, got_rec = step(state_dp, batch_dp, lr)
+
+    np.testing.assert_allclose(np.asarray(got_rec), np.asarray(want_rec),
+                               atol=5e-4)
+    for k in want_metrics:
+        np.testing.assert_allclose(float(got_metrics[k]),
+                                   float(want_metrics[k]),
+                                   rtol=2e-3, atol=2e-4)

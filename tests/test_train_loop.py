@@ -92,3 +92,49 @@ def test_run_training_and_resume(synthetic_face_dataset, tmp_path):
     for a, b in zip(jax.tree.leaves(model.state.gen_params),
                     jax.tree.leaves(model2.state.gen_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_losses_decrease_on_fixed_batch():
+    """Learning dynamics, not just finiteness: overfitting one fixed batch
+    for 40 GAN steps must shrink the perceptual reconstruction loss and
+    let the discriminator separate real from fake (the reference's
+    quick_start smoke never asserted this; VERDICT.md round-1 item 6)."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from wacv23_tsnet_tpu.models import TSNetModules
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = toy_config()
+    mods = TSNetModules(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(0), vgg_params=vgg)
+    rng = np.random.default_rng(0)
+    bs, hw, l, s = 2, cfg.image_size, cfg.label_nc, cfg.n_source
+    batch = {k: jnp.asarray(v) for k, v in {
+        "src_img": rng.random((bs, s, hw, hw, 3), np.float32),
+        "src_lbl": rng.integers(0, 2, (bs, s, hw, hw, l)).astype(np.float32),
+        "src_bbox": rng.integers(0, 2, (bs, s, hw, hw)).astype(np.float32),
+        "tar_img": rng.random((bs, hw, hw, 3), np.float32),
+        "tar_lbl": rng.integers(0, 2, (bs, hw, hw, l)).astype(np.float32),
+        "tar_bbox": rng.integers(0, 2, (bs, hw, hw)).astype(np.float32),
+    }.items()}
+
+    step = make_train_step(mods, donate=False)
+    vgg_hist, d_hist = [], []
+    for _ in range(40):
+        state, metrics, _ = step(state, batch, jnp.float32(2e-4))
+        vgg_hist.append(float(metrics["G_VGG"]))
+        d_hist.append(float(metrics["D"]))
+        for name, value in metrics.items():
+            assert np.isfinite(value), name
+
+    first, last = np.mean(vgg_hist[:5]), np.mean(vgg_hist[-5:])
+    assert last < 0.7 * first, (first, last)
+    assert np.mean(d_hist[-5:]) < np.mean(d_hist[:5]), d_hist

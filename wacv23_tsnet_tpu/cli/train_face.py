@@ -105,7 +105,8 @@ def main(argv=None):
     run_training(model, loader, cfg, tcfg, final_step=final_step,
                  start_step=start_step, snapshot_dir=snapshot_dir,
                  imgshot_dir=os.path.join(args.root_dir, "imgshots"),
-                 save_every=save_every, n_source=args.n_source)
+                 save_every=save_every, n_source=args.n_source,
+                 history_path=os.path.join(args.root_dir, "history.csv"))
 
 
 if __name__ == "__main__":

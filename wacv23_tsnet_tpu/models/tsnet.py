@@ -208,7 +208,8 @@ def tsnet_forward(
     warped_fea, flows = transformation_warp_sources(
         src_img_fea.astype(jnp.float32), tar_fea_n, src_fea_n,
         tar_mask, src_mask, temp=cfg.softmax_temp,
-        use_pallas=bool(use_pallas))                   # (B,S,h,w,C), (B,S,h,w,2)
+        use_pallas=bool(use_pallas),
+        fast_warp=cfg.fast_tail)                       # (B,S,h,w,C), (B,S,h,w,2)
 
     out: dict[str, Any] = {}
     if return_flow:
@@ -289,7 +290,8 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
     warped = transformation_warp_clip(
         src_fea.astype(jnp.float32), src_fea_n, src_mask,
         tar_fea_n, tar_mask, temp=cfg.softmax_temp,
-        use_pallas=bool(use_pallas))             # (S, F, h, w, C)
+        use_pallas=bool(use_pallas),
+        fast_warp=cfg.fast_tail)                 # (S, F, h, w, C)
     prop_fea = jnp.mean(warped, axis=0).astype(dt)
 
     if mods.fuse_net.n_blocks == 1:

@@ -327,7 +327,7 @@ transform_warp_fused.defvjp(_tw_fwd, _tw_bwd)
 
 
 def _pair_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, fea_ref,
-                 outw_ref, *outf, temp, h, w):
+                 outw_ref, *outf, temp, h, w, warp_prec):
     tt = t_ref[0, 0].astype(jnp.float32)           # (TILE_T, C)
     ss = s_ref[0, 0].astype(jnp.float32)           # (T, C) normalized
     logits = jax.lax.dot_general(
@@ -359,20 +359,24 @@ def _pair_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, fea_ref,
     sy = (s_ids // w).astype(jnp.float32)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
+    # warp_prec: HIGHEST for parity; DEFAULT (one bf16 pass) when the
+    # caller's tail is bf16 anyway (fast_tail) — the warped features feed
+    # only the decoder, never the temp-100 attention
     outw_ref[0, 0, 0] = jax.lax.dot_general(
         wx * wy, fea_ref[0, 0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=warp_prec,
     )
 
 
 def _pairs_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
-                  temp, h, w, with_flow):
+                  temp, h, w, with_flow, warp_prec):
     g, ns, t, c = src_fea.shape
     nf = tar_fea_n.shape[1]
     tile_t = min(_TILE_T, t)
-    kernel = functools.partial(_pair_kernel, temp=temp, h=h, w=w)
+    kernel = functools.partial(_pair_kernel, temp=temp, h=h, w=w,
+                               warp_prec=warp_prec)
     out_shape = [jax.ShapeDtypeStruct((g, ns, nf, t, c), jnp.float32)]
     out_specs = [pl.BlockSpec(
         (1, 1, 1, tile_t, c), lambda gi, si, fi, ti: (gi, si, fi, ti, 0),
@@ -421,28 +425,34 @@ def _pairs_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
 
 def _pairs_ref(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
                h, w, temp):
-    """Differentiable einsum+gather reference over the pair axes."""
-    def one_pair(fea, t_n, s_n, t_m, s_m):
-        return _transform_warp_ref(fea[None], t_n[None], s_n[None],
-                                   t_m[None], s_m[None], grid, h, w, temp)
+    """Differentiable einsum+gather reference over the pair axes.
 
-    def one_src(fea, s_n, s_m):  # maps over NF
-        w_, f_ = jax.vmap(one_pair, in_axes=(None, 0, None, 0, None))(
-            fea, tar_fea_n_g, s_n, tar_mask_g, s_m)
-        return w_[:, 0], f_[:, 0]                  # (NF, T, C), (NF, T, 2)
+    Flattens (G, NS, NF) into ONE batched call so the backward pass is a
+    single batched einsum chain — a per-group Python loop here showed up
+    directly as train-step time (the custom-vjp backward runs this).
+    """
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
 
-    outs_w, outs_f = [], []
-    for gi in range(src_fea.shape[0]):
-        tar_fea_n_g, tar_mask_g = tar_fea_n[gi], tar_mask[gi]
-        w_, f_ = jax.vmap(one_src)(src_fea[gi], src_fea_n[gi], src_mask[gi])
-        outs_w.append(w_)
-        outs_f.append(f_)
-    return jnp.stack(outs_w), jnp.stack(outs_f)
+    def expand_src(x):                              # (G, NS, ...) -> rows
+        return jnp.broadcast_to(x[:, :, None], (g, ns, nf) + x.shape[2:]
+                                ).reshape((g * ns * nf,) + x.shape[2:])
+
+    def expand_tar(x):                              # (G, NF, ...) -> rows
+        return jnp.broadcast_to(x[:, None], (g, ns, nf) + x.shape[2:]
+                                ).reshape((g * ns * nf,) + x.shape[2:])
+
+    warped, flow = _transform_warp_ref(
+        expand_src(src_fea), expand_tar(tar_fea_n), expand_src(src_fea_n),
+        expand_tar(tar_mask), expand_src(src_mask), grid, h, w, temp)
+    return (warped.reshape(g, ns, nf, t, c),
+            flow.reshape(g, ns, nf, t, 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
 def transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
-                         grid, h: int, w: int, temp: float = 100.0):
+                         grid, h: int, w: int, temp: float = 100.0,
+                         fast_warp: bool = False):
     """Grid-batched fused transformation branch over (group, src, tar) pairs.
 
     Args:
@@ -457,12 +467,13 @@ def transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
     masked_attention_flow + zeros-padded bilinear grid_sample.
     """
     out = _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
-                          grid, h, w, temp, with_flow=True)
+                          grid, h, w, temp, with_flow=True,
+                          fast_warp=fast_warp)
     return out[0], out[1][..., :2]
 
 
 def _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
-                    h, w, temp, with_flow):
+                    h, w, temp, with_flow, fast_warp=False):
     g, ns, t, c = src_fea.shape
     nf = tar_fea_n.shape[1]
     if t % min(_TILE_T, t) != 0:
@@ -472,32 +483,35 @@ def _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
         return (warped, flow) if with_flow else (warped,)
     grid_padded = jnp.zeros((t, _LANES), jnp.float32).at[:, :2].set(
         grid.astype(jnp.float32))
+    warp_prec = (jax.lax.Precision.DEFAULT if fast_warp
+                 else jax.lax.Precision.HIGHEST)
     return _pairs_pallas(
         src_fea.astype(jnp.float32), tar_fea_n.astype(jnp.float32),
         src_fea_n.astype(jnp.float32),
         tar_mask.astype(jnp.float32).reshape(g, nf, t, 1),
         src_mask.astype(jnp.float32).reshape(g, ns, 1, t),
-        grid_padded, temp, h, w, with_flow)
+        grid_padded, temp, h, w, with_flow, warp_prec)
 
 
 def transform_warp_pairs_nf(src_fea, tar_fea_n, src_fea_n, tar_mask,
                             src_mask, grid, h: int, w: int,
-                            temp: float = 100.0):
+                            temp: float = 100.0, fast_warp: bool = False):
     """Inference-only variant: returns just warped (G, NS, NF, T, C),
     skipping the flow output's HBM write (the clip path never reads it).
     Not differentiable — use transform_warp_pairs in training."""
     return _pairs_dispatch(src_fea, tar_fea_n, src_fea_n, tar_mask,
-                           src_mask, grid, h, w, temp, with_flow=False)[0]
+                           src_mask, grid, h, w, temp, with_flow=False,
+                           fast_warp=fast_warp)[0]
 
 
 def _pairs_fwd(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
-               h, w, temp):
+               h, w, temp, fast_warp):
     out = transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask,
-                               src_mask, grid, h, w, temp)
+                               src_mask, grid, h, w, temp, fast_warp)
     return out, (src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid)
 
 
-def _pairs_bwd(h, w, temp, residuals, g):
+def _pairs_bwd(h, w, temp, fast_warp, residuals, g):
     _, vjp = jax.vjp(
         lambda *a: _pairs_ref(*a, h=h, w=w, temp=temp), *residuals)
     return vjp(g)

@@ -40,6 +40,14 @@ from .grid_sample import grid_sample
 _SPATIAL_SHARDING: contextvars.ContextVar = contextvars.ContextVar(
     "tsnet_spatial_sharding", default=None)
 
+# Pallas-under-SPMD hook: a pallas_call is an opaque custom call that
+# GSPMD cannot partition (it would read wrong shards). When this is set
+# to (mesh, axis_name), the fused-kernel paths wrap themselves in
+# `shard_map` over the batch/frame axis, so each device runs the kernel
+# on its own shard — the batch axes here are embarrassingly parallel.
+_BATCH_MESH: contextvars.ContextVar = contextvars.ContextVar(
+    "tsnet_batch_mesh", default=None)
+
 
 @contextlib.contextmanager
 def spatial_partitioning(sharding):
@@ -50,6 +58,19 @@ def spatial_partitioning(sharding):
         yield
     finally:
         _SPATIAL_SHARDING.reset(token)
+
+
+@contextlib.contextmanager
+def batch_partitioning(mesh, axis: str = "data"):
+    """Context: run the fused Pallas transformation kernels under
+    `shard_map` over `axis` of `mesh` (batch for training, driving
+    frames for clip inference). Required for `use_pallas=True` inside a
+    GSPMD-sharded jit; the sharded axis size must divide the batch."""
+    token = _BATCH_MESH.set((mesh, axis))
+    try:
+        yield
+    finally:
+        _BATCH_MESH.reset(token)
 
 
 def _mask_coeff(tar_mask: jnp.ndarray, src_mask: jnp.ndarray) -> jnp.ndarray:
@@ -172,6 +193,7 @@ def transformation_warp_sources(
     src_mask: jnp.ndarray,      # (B, S, h, w)
     temp: float = 100.0,
     use_pallas: bool = True,
+    fast_warp: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Transformation branch for ALL sources of a batch in one call.
 
@@ -187,13 +209,27 @@ def transformation_warp_sources(
         from .pallas_similarity import transform_warp_pairs
         t = h * w
         grid = normalized_grid(h, w).reshape(t, 2)
-        warped, flow = transform_warp_pairs(
+
+        def call(sf, tf, sn, tm, sm):
+            return transform_warp_pairs(sf, tf, sn, tm, sm, grid, h, w,
+                                        temp, fast_warp)
+
+        ctx = _BATCH_MESH.get()
+        if ctx is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = ctx
+            call = shard_map(call, mesh=mesh,
+                             in_specs=(P(axis), P(axis), P(axis),
+                                       P(axis), P(axis)),
+                             out_specs=(P(axis), P(axis)),
+                             check_rep=False)
+        warped, flow = call(
             src_img_fea.reshape(b, s, t, c),
             tar_fea_n.reshape(b, 1, t, c),
             src_fea_n.reshape(b, s, t, c),
             tar_mask.reshape(b, 1, t),
-            src_mask.reshape(b, s, t),
-            grid, h, w, temp)
+            src_mask.reshape(b, s, t))
         return (warped[:, :, 0].reshape(b, s, h, w, c),
                 flow[:, :, 0].reshape(b, s, h, w, 2))
 
@@ -213,6 +249,7 @@ def transformation_warp_clip(
     tar_mask: jnp.ndarray,      # (F, h, w)
     temp: float = 100.0,
     use_pallas: bool = True,
+    fast_warp: bool = False,
 ) -> jnp.ndarray:
     """Clip-inference transformation branch: every (source, frame) pair.
 
@@ -228,13 +265,28 @@ def transformation_warp_clip(
     if use_pallas:
         from .pallas_similarity import transform_warp_pairs_nf
         grid = normalized_grid(h, w).reshape(t, 2)
-        warped = transform_warp_pairs_nf(
+
+        def call(sf, tf, sn, tm, sm):
+            return transform_warp_pairs_nf(sf, tf, sn, tm, sm, grid, h, w,
+                                           temp, fast_warp)
+
+        ctx = _BATCH_MESH.get()
+        if ctx is not None:
+            # driving frames shard over the data axis; sources replicate
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = ctx
+            call = shard_map(call, mesh=mesh,
+                             in_specs=(P(), P(None, axis), P(),
+                                       P(None, axis), P()),
+                             out_specs=P(None, None, axis),
+                             check_rep=False)
+        warped = call(
             src_fea.reshape(1, s, t, c),
             tar_fea_n.reshape(1, f, t, c),
             src_fea_n.reshape(1, s, t, c),
             tar_mask.reshape(1, f, t),
-            src_mask.reshape(1, s, t),
-            grid, h, w, temp)
+            src_mask.reshape(1, s, t))
         return warped[0].reshape(s, f, h, w, c)
 
     def one_source(fea_s, fea_n_s, mask_s):

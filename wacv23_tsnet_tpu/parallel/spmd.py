@@ -30,7 +30,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.tsnet import TSNetModules, tsnet_forward_clip
-from ..ops.similarity import spatial_partitioning
+from ..ops.similarity import batch_partitioning, spatial_partitioning
 from ..train.step import make_train_step
 
 
@@ -93,15 +93,28 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def make_parallel_train_step(mods: TSNetModules, mesh: Mesh,
                              spatial_parallel: bool = True, **kwargs):
     """DP(+TP+SP) train step. Call with state/batch placed via
-    shard_state/shard_batch; GSPMD propagates from argument shardings."""
+    shard_state/shard_batch; GSPMD propagates from argument shardings.
+
+    With `use_pallas=True` the fused transformation kernel runs under
+    `shard_map` over the data axis (ops.similarity.batch_partitioning) —
+    a pallas_call is opaque to GSPMD and must be explicitly sharded.
+    Requires batch % data-axis == 0. `spatial_parallel` then only
+    affects einsum-path code (the kernel owns the full target-pixel
+    axis within each shard).
+    """
+    use_pallas = kwargs.get("use_pallas", True)
     inner = make_train_step(mods, **kwargs)
 
+    import contextlib
+
     def step(state, batch, lr):
-        if spatial_parallel:
-            spec = NamedSharding(mesh, P(None, "model", None))
-            with spatial_partitioning(spec):
-                return inner(state, batch, lr)
-        return inner(state, batch, lr)
+        with contextlib.ExitStack() as stack:
+            if spatial_parallel:
+                spec = NamedSharding(mesh, P(None, "model", None))
+                stack.enter_context(spatial_partitioning(spec))
+            if use_pallas:
+                stack.enter_context(batch_partitioning(mesh, "data"))
+            return inner(state, batch, lr)
 
     return step
 
@@ -118,6 +131,8 @@ def make_parallel_clip_infer(mods: TSNetModules, mesh: Mesh,
     fn = jax.jit(functools.partial(tsnet_forward_clip, mods,
                                    use_pallas=use_pallas))
 
+    import contextlib
+
     def run(params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox):
         params = jax.device_put(params, jax.tree.map(
             lambda _: replicated(mesh), params))
@@ -125,10 +140,14 @@ def make_parallel_clip_infer(mods: TSNetModules, mesh: Mesh,
                               replicated(mesh))
         tars = jax.device_put((tar_lbl, tar_bbox), jax.tree.map(
             lambda _: batch_sharding(mesh), (tar_lbl, tar_bbox)))
-        if spatial_parallel:
-            spec = NamedSharding(mesh, P(None, "model", None))
-            with spatial_partitioning(spec):
-                return fn(params, *srcs, *tars)
-        return fn(params, *srcs, *tars)
+        with contextlib.ExitStack() as stack:
+            if spatial_parallel:
+                spec = NamedSharding(mesh, P(None, "model", None))
+                stack.enter_context(spatial_partitioning(spec))
+            if use_pallas:
+                # frames shard over data; the Pallas kernel runs per
+                # shard under shard_map (opaque to GSPMD otherwise)
+                stack.enter_context(batch_partitioning(mesh, "data"))
+            return fn(params, *srcs, *tars)
 
     return run

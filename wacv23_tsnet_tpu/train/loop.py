@@ -65,7 +65,14 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
                  snapshot_dir: str = "snapshots",
                  imgshot_dir: str = "imgshots",
                  save_every: int = 1000,
-                 n_source: int = 3) -> int:
+                 n_source: int = 3,
+                 history_path: str | None = None) -> int:
+    """Drive the GAN training loop; mirrors reference train_face.py:221-380.
+
+    `history_path`, when given, appends one CSV row of running-average
+    losses per `print_freq` steps — the loss-curve artifact for
+    monitoring sustained runs.
+    """
     os.makedirs(snapshot_dir, exist_ok=True)
     os.makedirs(imgshot_dir, exist_ok=True)
     meters = {name: AverageMeter() for name in model.loss_names}
@@ -129,6 +136,17 @@ def run_training(model: TSNet, loader, cfg: TSNetConfig, tcfg: TrainConfig,
                     print(f"step {actual_step}/{final_step} "
                           f"({time.time() - t0:.0f}s) {losses}")
                     model.print_learning_rate()
+                    if history_path is not None:
+                        header = not os.path.exists(history_path)
+                        with open(history_path, "a") as fh:
+                            if header:
+                                fh.write("step,seconds," + ",".join(
+                                    meters) + "\n")
+                            fh.write(f"{actual_step},"
+                                     f"{time.time() - t0:.1f},"
+                                     + ",".join(f"{m.avg:.5f}"
+                                                for m in meters.values())
+                                     + "\n")
 
                 if actual_step % tcfg.save_img_freq == 0:
                     sync_pending()
