@@ -25,6 +25,22 @@ def test_metric_ordering():
     assert float(l1(x, small)) < float(l1(x, big))
 
 
+def test_ssim_stays_in_range_on_natural_images():
+    """The sigma = E[x^2] - E[x]^2 cancellation silently produced SSIM
+    values like 51224 when the window conv ran in one bf16 pass (caught
+    on real training-eval montages); the metric must stay in [-1, 1] on
+    smooth, correlated content, not just white noise."""
+    yy, xx = np.meshgrid(np.linspace(0, 4, 96), np.linspace(0, 4, 96),
+                         indexing="ij")
+    base = 0.4 + 0.3 * np.sin(yy * 2.1) * np.cos(xx * 1.7)
+    a = np.repeat(base[None, :, :, None], 3, -1).astype(np.float32)
+    b = np.clip(a + 0.05 * RNG.standard_normal(a.shape), 0, 1).astype(
+        np.float32)
+    v = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    assert -1.0 <= v <= 1.0, v
+    assert v > 0.3, v
+
+
 def test_akd():
     kp = RNG.uniform(0, 100, (4, 25, 2))
     shifted = kp + 3.0

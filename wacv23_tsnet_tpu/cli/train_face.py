@@ -54,16 +54,22 @@ def main(argv=None):
     p.add_argument("--final-step", type=int, default=None)
     p.add_argument("--print-freq", type=int, default=100)
     p.add_argument("--save-pred-every", type=int, default=None)
+    p.add_argument("--lambda-vgg", type=float, default=None,
+                   help="override the VGG perceptual weight (e.g. 0 to "
+                        "ablate — used to bound the random-VGG impact)")
     args = p.parse_args(argv)
 
     random.seed(args.random_seed)
     np.random.seed(args.random_seed)
 
     import dataclasses
+    overrides = {}
+    if args.lambda_vgg is not None:
+        overrides["lambda_vgg"] = args.lambda_vgg
     cfg = dataclasses.replace(face_config(), n_source=args.n_source,
                               dec_n_blocks=args.n_blocks,
                               n_downsampling=args.n_downsampling,
-                              precision=args.precision)
+                              precision=args.precision, **overrides)
     tcfg = TrainConfig(batch_size=args.batch_size, lr=args.learning_rate,
                        lambda_dec=args.lambda_dec,
                        initial_epoch=args.initial_epoch,

@@ -41,9 +41,13 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, max_val: float = 1.0,
     def filt(x):
         b_, h, w, c = x.shape
         x = x.transpose(0, 3, 1, 2).reshape(b_ * c, 1, h, w)
+        # HIGHEST: the sigma = E[x^2] - E[x]^2 cancellation destroys
+        # SSIM (values far outside [-1, 1]) if the window conv runs in
+        # the default single bf16 pass on TPU
         y = lax.conv_general_dilated(
-            x, kernel.transpose(2, 3, 0, 1), (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            x.astype(jnp.float32), kernel.transpose(2, 3, 0, 1), (1, 1),
+            "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            precision=lax.Precision.HIGHEST)
         oh, ow = y.shape[2:]
         return y.reshape(b_, c, oh, ow).transpose(0, 2, 3, 1)
 
