@@ -15,6 +15,23 @@ from jax import lax
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """Per-(sample, channel) spatial standardization of an NHWC tensor."""
+    if x.dtype == jnp.bfloat16:
+        # One-pass statistics: E[x] and E[x^2] in a single fused fp32
+        # reduction, saving one full HBM read vs the two-pass form — on
+        # this chip elementwise passes run at ~280 GB/s, so each saved
+        # pass over a decoder-scale tensor is measurable. Numerics: the
+        # E[x^2]-E[x]^2 cancellation with fp32 accumulators errs by
+        # ~1e-7 * (mean/std)^2 relative, below bf16 output resolution
+        # (2^-8) for mean/std ratios into the hundreds; bf16 inputs are
+        # already quantized coarser than that. fp32 inputs (the
+        # bit-parity path) keep the exact two-pass form below.
+        n = x.shape[1] * x.shape[2]
+        xf = x.astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=(1, 2), keepdims=True)
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
     # Compute statistics in fp32 for bf16 inputs — IN is variance-sensitive.
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)

@@ -72,8 +72,13 @@ def phase_kernel(kernel: jnp.ndarray) -> jnp.ndarray:
     Output channel layout: ((py * 2 + px) * Co + o), matching
     `depth_to_space` below.
     """
+    # HIGHEST: this einsum runs at trace time on TPU, where the default
+    # precision would compute the derived kernel itself in single-pass
+    # bf16 — a ~0.4% relative weight corruption that CPU tests never see
+    # (measured 0.39 max output drift on the f32 bit-parity path).
     w = _W1D.astype(kernel.dtype)
-    kp = jnp.einsum("pad,qbe,abio->deipqo", w, w, kernel)
+    kp = jnp.einsum("pad,qbe,abio->deipqo", w, w, kernel,
+                    precision=jax.lax.Precision.HIGHEST)
     kh, kw, ci, co = kernel.shape
     return kp.reshape(kh, kw, ci, 4 * co)
 
@@ -135,15 +140,26 @@ def upsample2x_reflect_conv3(x: jnp.ndarray, kernel: jnp.ndarray,
     # exact 2-pixel border ring: the reference composition on 3-wide
     # slabs (their first 4 upsampled rows/cols are unclamped, so the
     # first 2 output rows/cols are exact; same mirrored at the far
-    # edge). 2 interleaved rows == 1 phase row.
-    top = _reference(x[:, :3], kernel, prec)[:, :2]
-    bot = _reference(x[:, -3:], kernel, prec)[:, -2:]
-    y = y.at[:, :1].set(_to_phase_rows(top))
-    y = y.at[:, -1:].set(_to_phase_rows(bot))
-    left = _reference(x[:, :, :3], kernel, prec)[:, :, :2]
-    right = _reference(x[:, :, -3:], kernel, prec)[:, :, -2:]
-    y = y.at[:, :, :1].set(_to_phase_cols(left))
-    y = y.at[:, :, -1:].set(_to_phase_cols(right))
+    # edge). 2 interleaved rows == 1 phase row. How the ring lands is
+    # chosen by measurement at clip scale (the chip's ~280 GB/s
+    # effective HBM makes every full-tensor pass count): when the
+    # result is immediately interleaved (depth_to_space), two concats
+    # beat the four chained dynamic-update-slices (which XLA lowers as
+    # full copies) by ~2.6 ms/stage; when the result stays in phase
+    # layout feeding instance_norm_phase, the DUS form fuses better
+    # with the downstream reduction and wins by ~7 ms.
+    top = _to_phase_rows(_reference(x[:, :3], kernel, prec)[:, :2])
+    bot = _to_phase_rows(_reference(x[:, -3:], kernel, prec)[:, -2:])
+    left = _to_phase_cols(_reference(x[:, :, :3], kernel, prec)[:, :, :2])
+    right = _to_phase_cols(_reference(x[:, :, -3:], kernel, prec)[:, :, -2:])
+    if phase_out:
+        y = y.at[:, :1].set(top)
+        y = y.at[:, -1:].set(bot)
+        y = y.at[:, :, :1].set(left)
+        y = y.at[:, :, -1:].set(right)
+    else:
+        y = jnp.concatenate([top, y[:, 1:-1], bot], axis=1)
+        y = jnp.concatenate([left, y[:, :, 1:-1], right], axis=2)
 
     if bias is not None:
         y = y + jnp.tile(bias, 4).astype(y.dtype)
@@ -157,8 +173,16 @@ def instance_norm_phase(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     b, h, w, c4 = x.shape
     c = c4 // 4
     xf = x.astype(jnp.float32).reshape(b, h, w, 4, c)
-    mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
+    if x.dtype == jnp.bfloat16:
+        # one-pass fp32 statistics for bf16 inputs (see ops.norms)
+        n = h * w * 4
+        s1 = jnp.sum(xf, axis=(1, 2, 3), keepdims=True)
+        s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3), keepdims=True)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+    else:
+        mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return y.reshape(b, h, w, c4).astype(x.dtype)
 
@@ -189,20 +213,24 @@ def conv7x7_phase_kernel(k7: jnp.ndarray) -> jnp.ndarray:
 
 def _mix_rows(x: jnp.ndarray, c: int, i_py0: int, i_py1: int) -> jnp.ndarray:
     """One reflect-pad phase row: py=0 channels from row i_py0, py=1 from
-    i_py1 (reflection preserves parity, so phases never cross; px and c
-    are contiguous channel halves — pure slices, no relayout)."""
-    return jnp.concatenate(
-        [x[:, i_py0:i_py0 + 1, :, :2 * c], x[:, i_py1:i_py1 + 1, :, 2 * c:]],
-        axis=-1)
+    i_py1 (reflection preserves parity, so phases never cross).
+
+    Implemented as a channel-mask `where` of the two row slices, NOT a
+    channel concat: on this TPU stack, `concatenate` along the channel
+    axis of two DIFFERENT row/col slices of the SAME tensor miscompiles
+    (XLA:TPU bug, measured 5.3 abs error on f32; CPU and numpy agree,
+    `where`/pad+add forms are correct — see /tmp repro in ROUND2 notes).
+    """
+    sel = jnp.arange(x.shape[-1]) < 2 * c
+    return jnp.where(sel, x[:, i_py0:i_py0 + 1], x[:, i_py1:i_py1 + 1])
 
 
 def _mix_cols(x: jnp.ndarray, c: int, j_px0: int, j_px1: int) -> jnp.ndarray:
     """One reflect-pad phase column: px=0 channel quarters from column
-    j_px0, px=1 quarters from j_px1."""
-    return jnp.concatenate(
-        [x[:, :, j_px0:j_px0 + 1, 0:c], x[:, :, j_px1:j_px1 + 1, c:2 * c],
-         x[:, :, j_px0:j_px0 + 1, 2 * c:3 * c],
-         x[:, :, j_px1:j_px1 + 1, 3 * c:]], axis=-1)
+    j_px0, px=1 quarters from j_px1 (same `where`-not-concat rationale
+    as `_mix_rows`)."""
+    sel = (jnp.arange(x.shape[-1]) // c) % 2 == 0
+    return jnp.where(sel, x[:, :, j_px0:j_px0 + 1], x[:, :, j_px1:j_px1 + 1])
 
 
 def _row_padded(x: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -260,16 +288,20 @@ def conv7x7_phase(x_phase: jnp.ndarray, k7: jnp.ndarray,
     bot = jnp.concatenate(
         [x_phase[:, -4:], _mix_rows(x_phase, ci, h - 1, h - 2),
          _mix_rows(x_phase, ci, h - 2, h - 3)], axis=1)
-    y = y.at[:, :2].set(_conv(_col_padded(top, ci), k5, prec))
-    y = y.at[:, -2:].set(_conv(_col_padded(bot, ci), k5, prec))
+    # ring lands via concat (one write per axis), not `.at[].set`
+    # (a full-tensor copy per chained dynamic-update-slice)
+    y = jnp.concatenate([_conv(_col_padded(top, ci), k5, prec),
+                         y[:, 2:-2],
+                         _conv(_col_padded(bot, ci), k5, prec)], axis=1)
     left = jnp.concatenate(
         [_mix_cols(x_phase, ci, 2, 1), _mix_cols(x_phase, ci, 1, 0),
          x_phase[:, :, :4]], axis=2)
     right = jnp.concatenate(
         [x_phase[:, :, -4:], _mix_cols(x_phase, ci, w - 1, w - 2),
          _mix_cols(x_phase, ci, w - 2, w - 3)], axis=2)
-    y = y.at[:, :, :2].set(_conv(_row_padded(left, ci), k5, prec))
-    y = y.at[:, :, -2:].set(_conv(_row_padded(right, ci), k5, prec))
+    y = jnp.concatenate([_conv(_row_padded(left, ci), k5, prec),
+                         y[:, :, 2:-2],
+                         _conv(_row_padded(right, ci), k5, prec)], axis=2)
 
     if bias is not None:
         y = y + jnp.tile(bias, 4).astype(y.dtype)
