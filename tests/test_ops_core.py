@@ -293,3 +293,30 @@ def test_pallas_fused_flow_gradients_match():
     g_fused = jax.grad(loss_fused, argnums=(0, 1))(jnp.asarray(t), jnp.asarray(s))
     for a, b_ in zip(g_ref, g_fused):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_pallas_pairs_mean_matches_composition():
+    """transform_warp_pairs_mean == mean over sources of the per-pair
+    composition, without materializing the per-pair tensor."""
+    from wacv23_tsnet_tpu.ops.similarity import (
+        transformation_warp_clip, transformation_warp_clip_mean)
+
+    s, f, h, w, c = 3, 4, 16, 16, 32          # t = 256, tiles cleanly
+    src = jnp.asarray(RNG.standard_normal((s, h, w, c), dtype=np.float32))
+    src_n = ops.l2_normalize(src)
+    sm = jnp.asarray((RNG.random((s, h, w)) > 0.5).astype(np.float32))
+    tar = jnp.asarray(RNG.standard_normal((f, h, w, c), dtype=np.float32))
+    tar_n = ops.l2_normalize(tar)
+    tm = jnp.asarray((RNG.random((f, h, w)) > 0.5).astype(np.float32))
+
+    ref = jnp.mean(transformation_warp_clip(
+        src, src_n, sm, tar_n, tm, use_pallas=False), axis=0)
+    fused = transformation_warp_clip_mean(src, src_n, sm, tar_n, tm)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=1e-4)
+
+    # bf16 fast-tail output: same values at bf16 resolution
+    fused_bf = transformation_warp_clip_mean(
+        src, src_n, sm, tar_n, tm, fast_warp=True, out_dtype=jnp.bfloat16)
+    assert fused_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(fused_bf, np.float32),
+                               np.asarray(ref), atol=0.05)

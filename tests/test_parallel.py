@@ -195,3 +195,28 @@ def test_dp_train_step_pallas_shardmap_matches_single_device():
         np.testing.assert_allclose(float(got_metrics[k]),
                                    float(want_metrics[k]),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_dp_clip_inference_fused_mean_shardmap_matches_single_device():
+    """The fast tail's fused mean-over-sources kernel under shard_map:
+    the (S, F, ...) per-pair tensor never exists, frames shard over
+    `data`, each device computes its shard with the in-kernel source
+    loop. The bf16 decoder tail fuses differently for the shard
+    shapes, so equality holds at bf16 resolution (measured max 0.0072
+    on the [-1,1] outputs)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(toy_config(), fast_tail=True)
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(1))
+    args = _clip_args(cfg)
+
+    want = jax.jit(
+        lambda p, *a: tsnet_forward_clip(mods, p, *a, use_pallas=True)
+    )(params, *args)
+
+    mesh = make_mesh(8, model_parallel=1)
+    run = make_parallel_clip_infer(mods, mesh, use_pallas=True)
+    got = run(params, *args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-2)

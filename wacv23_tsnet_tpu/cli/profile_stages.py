@@ -29,7 +29,8 @@ from ..nn.decoder import decoder_apply_fast
 from ..nn.fusenet import fuse_clip
 from ..ops.norms import l2_normalize
 from ..ops.resize import resize_nearest
-from ..ops.similarity import transformation_warp_clip
+from ..ops.similarity import (transformation_warp_clip,
+                              transformation_warp_clip_mean)
 
 
 def timed(name: str, fn, args, repeats: int = 8, iters: int = 3) -> float:
@@ -91,12 +92,25 @@ def main() -> None:
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
     tar_mask = resize_nearest(tar_bbox[..., None], (h, w))[..., 0]
 
-    run_warp = lambda fea, fea_n, msk, tfn, tm, eps: transformation_warp_clip(
-        fea.astype(jnp.float32), fea_n, msk, tfn + eps, tm,
-        temp=cfg.softmax_temp, use_pallas=True, fast_warp=cfg.fast_tail)
+    dec_dt = mods.dec.dtype
+    if dec_dt == jnp.bfloat16:
+        # mirrors decode_with_sources: mean-over-sources folded into the
+        # kernel, written in the decoder's bf16
+        run_warp = lambda fea, fea_n, msk, tfn, tm, eps: (
+            transformation_warp_clip_mean(
+                fea.astype(jnp.float32), fea_n, msk, tfn + eps, tm,
+                temp=cfg.softmax_temp, fast_warp=cfg.fast_tail,
+                out_dtype=dec_dt))
+        warp_label = "transform+warp+mean (pallas)"
+    else:
+        run_warp = lambda fea, fea_n, msk, tfn, tm, eps: jnp.mean(
+            transformation_warp_clip(
+                fea.astype(jnp.float32), fea_n, msk, tfn + eps, tm,
+                temp=cfg.softmax_temp, use_pallas=True,
+                fast_warp=cfg.fast_tail), axis=0).astype(dec_dt)
+        warp_label = "transform+warp, mean (pallas)"
     warp_args = (pack["fea"], pack["fea_n"], pack["mask"], tar_fea_n, tar_mask)
-    warped = jax.jit(lambda *a: run_warp(*a, 0.0))(*warp_args)
-    prop_fea = jnp.mean(warped, axis=0).astype(mods.fuse_net.dtype)
+    prop_fea = jax.jit(lambda *a: run_warp(*a, 0.0))(*warp_args)
 
     run_fuse = lambda p_, fea, tf, eps: fuse_clip(
         p_["fuse_net"], fea.astype(jnp.float32), tf.astype(jnp.float32) + eps,
@@ -106,10 +120,7 @@ def main() -> None:
 
     total = 0.0
     total += timed("lbl_enc", run_lbl, (params, tar_lbl))
-    total += timed("transform+warp (pallas)", run_warp, warp_args)
-    total += timed("mean over sources",
-                   lambda wp, eps: jnp.mean(wp + eps, axis=0).astype(dt),
-                   (warped,))
+    total += timed(warp_label, run_warp, warp_args)
     total += timed("fuse (split form)", run_fuse,
                    (params, pack["fea"], tar_fea))
     total += timed("decoder (fast)",

@@ -27,6 +27,7 @@ from ..nn import Decoder, Encoder, FuseNet, PatchDiscriminator
 from ..ops.norms import l2_normalize
 from ..ops.resize import resize_nearest, _sample_separable
 from ..ops.similarity import (transformation_warp_clip,
+                              transformation_warp_clip_mean,
                               transformation_warp_sources)
 from ..ops.warp import patch_warp
 
@@ -287,12 +288,25 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
     tar_mask = resize_nearest(tar_bbox[..., None], (h, w))[..., 0]
 
-    warped = transformation_warp_clip(
-        src_fea.astype(jnp.float32), src_fea_n, src_mask,
-        tar_fea_n, tar_mask, temp=cfg.softmax_temp,
-        use_pallas=bool(use_pallas),
-        fast_warp=cfg.fast_tail)                 # (S, F, h, w, C)
-    prop_fea = jnp.mean(warped, axis=0).astype(dt)
+    dec_dt = mods.dec.dtype
+    if use_pallas and dec_dt == jnp.bfloat16:
+        # fast tail: the mean over sources folds into the kernel — the
+        # per-pair (S, F, h, w, C) tensor never reaches HBM and the mean
+        # is written directly in the decoder's bf16 (measured faster
+        # than pairs+mean only with the halved write; the f32-out
+        # variant is slower than the composition, so the bit-parity
+        # path keeps the pairs kernel)
+        prop_fea = transformation_warp_clip_mean(
+            src_fea.astype(jnp.float32), src_fea_n, src_mask,
+            tar_fea_n, tar_mask, temp=cfg.softmax_temp,
+            fast_warp=cfg.fast_tail, out_dtype=dec_dt)   # (F, h, w, C)
+    else:
+        warped = transformation_warp_clip(
+            src_fea.astype(jnp.float32), src_fea_n, src_mask,
+            tar_fea_n, tar_mask, temp=cfg.softmax_temp,
+            use_pallas=bool(use_pallas),
+            fast_warp=cfg.fast_tail)             # (S, F, h, w, C)
+        prop_fea = jnp.mean(warped, axis=0).astype(dt)
 
     if mods.fuse_net.n_blocks == 1:
         # split form: per-pair work halves, mean commutes with the 1x1

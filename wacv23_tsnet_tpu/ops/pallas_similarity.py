@@ -504,6 +504,132 @@ def transform_warp_pairs_nf(src_fea, tar_fea_n, src_fea_n, tar_mask,
                            fast_warp=fast_warp)[0]
 
 
+def _mean_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
+                 *, temp, h, w, ns, warp_prec):
+    """Per-tile transformation branch with the mean over sources folded
+    in: the NS source iterations run INSIDE the kernel (a static Python
+    loop), so the (NS, NF, T, C) per-pair warped tensor never exists in
+    HBM — only its mean (NF, T, C) is written. The UN-normalized source
+    features are the only per-source block resident in VMEM (shipped
+    scale: 3 x 2 MB, constant index — fetched once); their L2
+    normalization for the similarity matmul is recomputed on the VPU
+    each grid step (2*T*C flops, ~0.1% of the tile's matmul work),
+    which both halves the source HBM traffic and keeps the kernel under
+    the 16 MB scoped-VMEM limit (a separate normalized block OOMs)."""
+    tt = t_ref[0, 0].astype(jnp.float32)           # (TILE_T, C)
+    mt = mt_ref[0, 0].astype(jnp.float32)          # (TILE_T, 1)
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
+    sx = (s_ids % w).astype(jnp.float32)
+    sy = (s_ids // w).astype(jnp.float32)
+    acc = jnp.zeros(out_ref.shape[-2:], jnp.float32)
+    for s in range(ns):
+        fea = fea_ref[0, s].astype(jnp.float32)    # (T, C) un-normalized
+        # F.normalize semantics: x / max(||x||_2, eps)
+        norm = jnp.sqrt(jnp.sum(jnp.square(fea), axis=-1, keepdims=True))
+        ss = fea / jnp.maximum(norm, 1e-12)
+        logits = jax.lax.dot_general(
+            tt, ss, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                          # (TILE_T, T)
+        ms = ms_ref[0, s].astype(jnp.float32)      # (1, T)
+        coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
+        z = temp * (logits * coeff)
+        z = z - jnp.max(z, axis=-1, keepdims=True)
+        p = jnp.exp(z)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        flow = jax.lax.dot_general(
+            p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                          # (TILE_T, LANES)
+        ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
+        iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
+        acc = acc + jax.lax.dot_general(
+            wx * wy, fea_ref[0, s].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=warp_prec,
+        )
+    out_ref[0, 0] = (acc / ns).astype(out_ref.dtype)
+
+
+def _pairs_mean_pallas(src_fea, tar_fea_n, mt, ms, grid_padded,
+                       temp, h, w, warp_prec, out_dtype):
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    # 128-row tiles (not _TILE_T): the NS resident source blocks put
+    # this kernel ~1 MB over the 16 MB scoped-VMEM limit at 256
+    tile_t = min(128, t)
+    kernel = functools.partial(_mean_kernel, temp=temp, h=h, w=w, ns=ns,
+                               warp_prec=warp_prec)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, nf, t, c), out_dtype),
+        grid=(g, nf, t // tile_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_t, c),
+                         lambda gi, fi, ti: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t, 1),
+                         lambda gi, fi, ti: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, 1, t),
+                         lambda gi, fi, ti: (gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _LANES), lambda gi, fi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ns, t, c),
+                         lambda gi, fi, ti: (gi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile_t, c),
+                               lambda gi, fi, ti: (gi, fi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * ns * nf * t * t * (2 * c + _LANES),
+            bytes_accessed=(4 * (g * ns * t * c + g * nf * t * c)
+                            + g * nf * t * c * out_dtype.itemsize),
+            transcendentals=g * ns * nf * t * t,
+        ),
+        interpret=_interpret(),
+    )(tar_fea_n, mt, ms, grid_padded, src_fea)
+
+
+def transform_warp_pairs_mean(src_fea, tar_fea_n, src_fea_n, tar_mask,
+                              src_mask, grid, h: int, w: int,
+                              temp: float = 100.0, fast_warp: bool = False,
+                              out_dtype=jnp.float32):
+    """Inference-only: mean over sources of the per-pair warped features,
+    computed without materializing the per-pair tensor.
+
+    Same math as `transform_warp_pairs(...)[0].mean(axis=1)` but the
+    (G, NS, NF, T, C) intermediate never touches HBM (at the shipped
+    clip scale that is ~800 MB of write + read per 128 frames on a
+    ~280 GB/s chip). Returns (G, NF, T, C) in `out_dtype` (pass bf16
+    when the consumer is the bf16 fast tail — halves the write).
+    Not differentiable — training uses transform_warp_pairs.
+    """
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    if t % min(128, t) != 0:
+        warped, _ = _pairs_ref(src_fea, tar_fea_n, src_fea_n, tar_mask,
+                               src_mask, grid, h, w, temp)
+        return jnp.mean(warped, axis=1).astype(out_dtype)
+    grid_padded = jnp.zeros((t, _LANES), jnp.float32).at[:, :2].set(
+        grid.astype(jnp.float32))
+    warp_prec = (jax.lax.Precision.DEFAULT if fast_warp
+                 else jax.lax.Precision.HIGHEST)
+    del src_fea_n  # recomputed in-kernel from src_fea (see _mean_kernel)
+    return _pairs_mean_pallas(
+        src_fea.astype(jnp.float32), tar_fea_n.astype(jnp.float32),
+        tar_mask.astype(jnp.float32).reshape(g, nf, t, 1),
+        src_mask.astype(jnp.float32).reshape(g, ns, 1, t),
+        grid_padded, temp, h, w, warp_prec, jnp.dtype(out_dtype))
+
+
 def _pairs_fwd(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
                h, w, temp, fast_warp):
     out = transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask,

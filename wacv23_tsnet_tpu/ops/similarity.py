@@ -241,6 +241,54 @@ def transformation_warp_sources(
         src_img_fea, src_fea_n, src_mask)
 
 
+def transformation_warp_clip_mean(
+    src_fea: jnp.ndarray,       # (S, h, w, C) un-normalized
+    src_fea_n: jnp.ndarray,     # (S, h, w, C) L2-normalized
+    src_mask: jnp.ndarray,      # (S, h, w)
+    tar_fea_n: jnp.ndarray,     # (F, h, w, C) L2-normalized driving frames
+    tar_mask: jnp.ndarray,      # (F, h, w)
+    temp: float = 100.0,
+    fast_warp: bool = False,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Clip-inference transformation branch with the source mean fused in.
+
+    Equals `transformation_warp_clip(...).mean(axis=0)` but the per-pair
+    (S, F, h, w, C) tensor never reaches HBM: the fused kernel iterates
+    sources inside each (frame, tile) grid step and writes only the
+    mean — in `out_dtype`, so the bf16 fast tail also halves the write.
+    Inference-only (not differentiable). Returns (F, h, w, C).
+    """
+    from .pallas_similarity import transform_warp_pairs_mean
+    s, h, w, c = src_fea.shape
+    f = tar_fea_n.shape[0]
+    t = h * w
+    grid = normalized_grid(h, w).reshape(t, 2)
+
+    def call(sf, tf, sn, tm, sm):
+        return transform_warp_pairs_mean(sf, tf, sn, tm, sm, grid, h, w,
+                                         temp, fast_warp, out_dtype)
+
+    ctx = _BATCH_MESH.get()
+    if ctx is not None:
+        # driving frames shard over the data axis; sources replicate
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        mesh, axis = ctx
+        call = shard_map(call, mesh=mesh,
+                         in_specs=(P(), P(None, axis), P(),
+                                   P(None, axis), P()),
+                         out_specs=P(None, axis),
+                         check_rep=False)
+    out = call(
+        src_fea.reshape(1, s, t, c),
+        tar_fea_n.reshape(1, f, t, c),
+        src_fea_n.reshape(1, s, t, c),
+        tar_mask.reshape(1, f, t),
+        src_mask.reshape(1, s, t))
+    return out[0].reshape(f, h, w, c)
+
+
 def transformation_warp_clip(
     src_fea: jnp.ndarray,       # (S, h, w, C) un-normalized
     src_fea_n: jnp.ndarray,     # (S, h, w, C) L2-normalized
