@@ -16,8 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.norms import instance_norm
 from ..ops.resize import upsample_bilinear_2x
-from ..ops.upconv import (conv7x7_phase, depth_to_space, instance_norm_phase,
-                          upsample2x_reflect_conv3)
+from ..ops.upconv import conv7x7_phase, depth_to_space, upconv_in_relu
 from .blocks import ResnetBlock, conv_init, reflect_pad
 
 
@@ -101,17 +100,17 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
         blk = params[f"block{j}"]
         h = nn.relu(instance_norm(conv(x, blk["conv1"], pad=1)))
         x = x + instance_norm(conv(h, blk["conv2"], pad=1))
+    # up stages: fused conv+ring+IN+relu; the conv bias is dropped (a
+    # per-channel constant cancels exactly in the instance norm)
     for i in range(dec.n_downsampling - 1):
         up = params[f"up{i}"]
-        x = upsample2x_reflect_conv3(
-            x, jnp.asarray(up["kernel"], dt), jnp.asarray(up["bias"], dt),
-            precision=prec)
-        x = nn.relu(instance_norm(x))
+        x = upconv_in_relu(x, jnp.asarray(up["kernel"], dt), precision=prec)
     up = params[f"up{dec.n_downsampling - 1}"]
-    x = upsample2x_reflect_conv3(
-        x, jnp.asarray(up["kernel"], dt), jnp.asarray(up["bias"], dt),
-        precision=prec, phase_out=True)
-    x = nn.relu(instance_norm_phase(x))
+    x = upconv_in_relu(x, jnp.asarray(up["kernel"], dt), precision=prec,
+                       phase_out=True)
+    # (a 16-phase/quarter-res tail was measured: its conv is 5 ms/clip
+    # faster but the extra space-to-depth relayout costs 6-7 — the
+    # 4-phase layout up2 already emits is the right operating point)
     out = conv7x7_phase(x, jnp.asarray(params["conv_out"]["kernel"], dt),
                         jnp.asarray(params["conv_out"]["bias"], dt),
                         precision=prec)

@@ -166,6 +166,66 @@ def upsample2x_reflect_conv3(x: jnp.ndarray, kernel: jnp.ndarray,
     return y if phase_out else depth_to_space(y)
 
 
+def upconv_in_relu(x: jnp.ndarray, kernel: jnp.ndarray,
+                   precision: str = "highest", phase_out: bool = False,
+                   eps: float = 1e-5) -> jnp.ndarray:
+    """Fused [upsample2x -> reflect-pad -> conv3x3 -> instance_norm -> relu].
+
+    Same math as `relu(instance_norm(upsample2x_reflect_conv3(...)))`
+    with the conv BIAS dropped — a per-channel constant is cancelled
+    exactly by the instance norm's mean subtraction — and two fewer HBM
+    passes: the exact border ring is never written into the bulk tensor.
+    Instead the IN statistics are accumulated from the bulk interior and
+    the four thin ring pieces separately, and the ring lands during the
+    normalize+relu pass via a broadcast `select` (the ~280 GB/s
+    effective HBM on this chip makes each avoided full-tensor pass
+    ~2-4 ms/clip at decoder scale; see ROUND2.md).
+
+    Args/returns as `upsample2x_reflect_conv3` (bias-free).
+    """
+    prec = _PREC[precision] if isinstance(precision, str) else precision
+    b, h, w, _ = x.shape
+    co = kernel.shape[3]
+
+    kp = phase_kernel(kernel)
+    bulk = jax.lax.conv_general_dilated(
+        x, kp, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=prec)                              # (B, H, W, 4Co) phase
+
+    top = _to_phase_rows(_reference(x[:, :3], kernel, prec)[:, :2])
+    bot = _to_phase_rows(_reference(x[:, -3:], kernel, prec)[:, -2:])
+    left = _to_phase_cols(_reference(x[:, :, :3], kernel, prec)[:, :, :2])
+    right = _to_phase_cols(_reference(x[:, :, -3:], kernel, prec)[:, :, -2:])
+
+    # IN statistics over the assembled tensor, from its disjoint pieces:
+    # interior = bulk[1:-1, 1:-1]; row 0 / H-1 cols 1..W-2 from top/bot;
+    # full cols 0 / W-1 from left/right (they own the corners).
+    def sums(t, axes):
+        tf = t.astype(jnp.float32).reshape(t.shape[:-1] + (4, co))
+        return (jnp.sum(tf, axis=axes), jnp.sum(jnp.square(tf), axis=axes))
+
+    s1i, s2i = sums(bulk[:, 1:-1, 1:-1], (1, 2, 3))
+    s1t, s2t = sums(top[:, :, 1:-1], (1, 2, 3))
+    s1b, s2b = sums(bot[:, :, 1:-1], (1, 2, 3))
+    s1l, s2l = sums(left, (1, 2, 3))
+    s1r, s2r = sums(right, (1, 2, 3))
+    n = h * w * 4
+    mean = (s1i + s1t + s1b + s1l + s1r) / n               # (B, Co)
+    var = (s2i + s2t + s2b + s2l + s2r) / n - jnp.square(mean)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]       # (B, 1, 1, 4Co)
+    inv4 = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
+
+    rows = jnp.arange(h)[None, :, None, None]
+    cols = jnp.arange(w)[None, None, :, None]
+    val = jnp.where(
+        cols == 0, left, jnp.where(
+            cols == w - 1, right, jnp.where(
+                rows == 0, top, jnp.where(rows == h - 1, bot, bulk))))
+    y = jax.nn.relu((val.astype(jnp.float32) - mean4) * inv4).astype(x.dtype)
+    return y if phase_out else depth_to_space(y)
+
+
 def instance_norm_phase(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """`ops.norms.instance_norm` of the interleaved tensor, computed in
     phase layout: statistics reduce over space AND the 4 phase copies of
