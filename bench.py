@@ -28,9 +28,11 @@ CACHE = os.path.join(REPO, "BASELINE_MEASURED.json")
 N_SOURCE = 3
 SIZE = 256
 LABEL_NC = 2
-# 128-frame chunks amortize the per-dispatch latency of this host's TPU
-# tunnel (~25 ms/call); measured 344 vs 231 fps at 32-frame chunks.
-CLIP_FRAMES = 128
+# 256-frame chunks amortize the per-dispatch latency of this host's TPU
+# tunnel (~25 ms/call); measured 568 vs 548 vs 520 fps at 256/192/128
+# (and 344 vs 231 at 128 vs 32 in round 1). Peak live activations at 256
+# frames stay well inside the 16 GB HBM (lbl_enc stem f32: ~4.3 GB).
+CLIP_FRAMES = 256
 log = lambda *a: print(*a, file=sys.stderr, flush=True)
 
 

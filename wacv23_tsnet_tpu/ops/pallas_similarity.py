@@ -504,8 +504,23 @@ def transform_warp_pairs_nf(src_fea, tar_fea_n, src_fea_n, tar_mask,
                            fast_warp=fast_warp)[0]
 
 
+def _split_bf16(x):
+    """f32 -> (hi, lo) bf16 pair with x == hi + lo exactly (lo holds the
+    rounding residual; |lo| <= 2^-9 |x|)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_nt(a, b, precision):
+    """a @ b^T with f32 accumulation."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
 def _mean_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
-                 *, temp, h, w, ns, warp_prec):
+                 *, temp, h, w, ns, warp_prec, fast3):
     """Per-tile transformation branch with the mean over sources folded
     in: the NS source iterations run INSIDE the kernel (a static Python
     loop), so the (NS, NF, T, C) per-pair warped tensor never exists in
@@ -518,6 +533,8 @@ def _mean_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
     the 16 MB scoped-VMEM limit (a separate normalized block OOMs)."""
     tt = t_ref[0, 0].astype(jnp.float32)           # (TILE_T, C)
     mt = mt_ref[0, 0].astype(jnp.float32)          # (TILE_T, 1)
+    if fast3:
+        tt_hi, tt_lo = _split_bf16(tt)
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
     sx = (s_ids % w).astype(jnp.float32)
     sy = (s_ids // w).astype(jnp.float32)
@@ -527,22 +544,45 @@ def _mean_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
         # F.normalize semantics: x / max(||x||_2, eps)
         norm = jnp.sqrt(jnp.sum(jnp.square(fea), axis=-1, keepdims=True))
         ss = fea / jnp.maximum(norm, 1e-12)
-        logits = jax.lax.dot_general(
-            tt, ss, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                          # (TILE_T, T)
+        if fast3:
+            # hand-rolled bf16x3 (~= Precision.HIGH, which Mosaic cannot
+            # lower itself): 3 single-pass MXU products instead of
+            # HIGHEST's 6; the dropped lo@lo term is O(2^-18) relative.
+            # The einsum path at HIGH measures 1.2e-3 mean L1 end to
+            # end — inside the fast path's 0.01 budget.
+            ss_hi, ss_lo = _split_bf16(ss)
+            one = jax.lax.Precision.DEFAULT
+            logits = (_dot_nt(tt_hi, ss_hi, one)
+                      + (_dot_nt(tt_hi, ss_lo, one)
+                         + _dot_nt(tt_lo, ss_hi, one)))
+        else:
+            logits = _dot_nt(tt, ss, jax.lax.Precision.HIGHEST)
         ms = ms_ref[0, s].astype(jnp.float32)      # (1, T)
         coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
         z = temp * (logits * coeff)
         z = z - jnp.max(z, axis=-1, keepdims=True)
         p = jnp.exp(z)
         p = p / jnp.sum(p, axis=-1, keepdims=True)
-        flow = jax.lax.dot_general(
-            p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                          # (TILE_T, LANES)
+        if fast3:
+            # p @ grid in THREE bf16 passes with both operands hi/lo
+            # split (grid entries -1 + 2i/31 are NOT binary fractions —
+            # a plain bf16 grid cast moves sample positions ~0.4% and
+            # blew the 0.01 end-to-end budget, measured 0.0129). The
+            # dropped lo@lo term is O(2^-18) relative.
+            p_hi, p_lo = _split_bf16(p)
+            g_hi, g_lo = _split_bf16(grid_ref[:].astype(jnp.float32))
+            dot = lambda a, g_: jax.lax.dot_general(
+                a, g_, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT)
+            flow = (dot(p_hi, g_hi)
+                    + (dot(p_hi, g_lo) + dot(p_lo, g_hi)))
+        else:
+            flow = jax.lax.dot_general(
+                p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                      # (TILE_T, LANES)
         ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
         iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))
@@ -563,8 +603,9 @@ def _pairs_mean_pallas(src_fea, tar_fea_n, mt, ms, grid_padded,
     # 128-row tiles (not _TILE_T): the NS resident source blocks put
     # this kernel ~1 MB over the 16 MB scoped-VMEM limit at 256
     tile_t = min(128, t)
-    kernel = functools.partial(_mean_kernel, temp=temp, h=h, w=w, ns=ns,
-                               warp_prec=warp_prec)
+    kernel = functools.partial(
+        _mean_kernel, temp=temp, h=h, w=w, ns=ns, warp_prec=warp_prec,
+        fast3=warp_prec == jax.lax.Precision.DEFAULT)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((g, nf, t, c), out_dtype),
