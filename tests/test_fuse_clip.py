@@ -1,0 +1,54 @@
+"""fuse_clip (split-form FuseNet over shared sources) vs the generic module.
+
+The clip path computes mean_s FuseNet(src[s], tar[f]) with the concat
+conv split per source/frame, the conv2 bias dropped into the following
+instance norm, and the IN + mean-over-sources fused into one Pallas pass
+(ops.pallas_norms.instance_norm_mean). These tests pin the whole chain
+and the fused norm-mean op to their reference compositions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wacv23_tsnet_tpu.nn.fusenet import FuseNet, fuse_clip
+from wacv23_tsnet_tpu.ops.norms import instance_norm
+from wacv23_tsnet_tpu.ops.pallas_norms import instance_norm_mean
+
+RNG = np.random.default_rng(11)
+
+
+def test_instance_norm_mean_matches_composition():
+    x = jnp.asarray(RNG.standard_normal((3, 4, 8, 8, 16)), jnp.float32)
+    want = jnp.mean(jax.vmap(instance_norm)(x), axis=0)
+    got = instance_norm_mean(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_instance_norm_mean_bf16_out():
+    x = jnp.asarray(RNG.standard_normal((2, 3, 8, 8, 16)), jnp.float32) \
+        .astype(jnp.bfloat16)
+    want = jnp.mean(jax.vmap(instance_norm)(x).astype(jnp.float32), axis=0)
+    got = instance_norm_mean(x, out_dtype=jnp.bfloat16)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fuse_clip_matches_generic_module():
+    s, f, hw, c = 3, 5, 8, 32
+    net = FuseNet(ngf=2 * c, n_blocks=1)
+    src = jnp.asarray(RNG.standard_normal((s, hw, hw, c)), jnp.float32)
+    tar = jnp.asarray(RNG.standard_normal((f, hw, hw, c)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), src[:1], src[:1])["params"]
+
+    # generic path: per (source, frame) pair, then mean over sources
+    def pair(sidx):
+        src_b = jnp.broadcast_to(src[sidx][None], (f, hw, hw, c))
+        return net.apply({"params": params}, src_b, tar)
+
+    want = jnp.mean(jnp.stack([pair(i) for i in range(s)]), axis=0)
+    got = fuse_clip(params, src, tar)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)

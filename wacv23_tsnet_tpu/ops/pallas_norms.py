@@ -71,6 +71,83 @@ def _pick_tile(n: int, c: int, itemsize: int) -> int:
     return tile
 
 
+def _in_mean_kernel(x_ref, out_ref, acc_ref, *, ns, n, eps):
+    si = pl.program_id(2)
+    xf = x_ref[0, 0].astype(jnp.float32)              # (N, C)
+    mean = jnp.sum(xf, axis=0, keepdims=True) / n
+    var = jnp.sum(xf * xf, axis=0, keepdims=True) / n - mean * mean
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+
+    @pl.when(si == 0)
+    def _():
+        acc_ref[...] = y
+
+    @pl.when(si != 0)
+    def _():
+        acc_ref[...] = acc_ref[...] + y
+
+    @pl.when(si == ns - 1)
+    def _():
+        out_ref[0] = (acc_ref[...] / ns).astype(out_ref.dtype)
+
+
+def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
+                       out_dtype=None) -> jnp.ndarray:
+    """mean_s instance_norm(x[s]) over the leading source axis, fused.
+
+    Args: x (S, F, H, W, C) per-(source, frame) activations. Returns
+    (F, H, W, C): the per-pair instance norm (stats over H*W per
+    channel) averaged over S, with the (S*F) per-pair normalized tensor
+    never touching HBM — ONE read of x, one (F,...) write, vs the XLA
+    lowering's two reads + intermediate traffic (measured 12.4 vs
+    ~4 ms/clip at fuse_clip's (3, 128, 32, 32, 1024) bf16 shape).
+
+    Statistics are one-pass fp32 E[x^2]-E[x]^2 (see instance_norm's
+    note). Honors `batch_partitioning` for use inside GSPMD-sharded
+    jits (shard over the frame axis). Inference-only: no custom VJP.
+    """
+    ns, f, h, w, c = x.shape
+    n = h * w
+    out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
+
+    # statistics are per channel, so the channel axis tiles freely into
+    # the grid — the full-plane block with its fp32 temporaries and
+    # double buffering exceeds the 16 MB scoped VMEM at the fuse shape
+    # (measured 19.8 MB for (1024, 1024) bf16 blocks)
+    cc = c
+    while cc > 256 and cc % 2 == 0:
+        cc //= 2
+
+    def call(xs):
+        nf = xs.shape[1]
+        xr = xs.reshape(ns, nf, n, c)
+        return pl.pallas_call(
+            functools.partial(_in_mean_kernel, ns=ns, n=n, eps=eps),
+            out_shape=jax.ShapeDtypeStruct((nf, n, c), out_dtype),
+            grid=(nf, c // cc, ns),
+            in_specs=[pl.BlockSpec(
+                (1, 1, n, cc), lambda fi, ci, si: (si, fi, 0, ci),
+                memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(
+                (1, n, cc), lambda fi, ci, si: (fi, 0, ci),
+                memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((n, cc), jnp.float32)],
+            interpret=_interpret(),
+        )(xr).reshape(nf, h, w, c)
+
+    from .similarity import _BATCH_MESH
+    batch_mesh = _BATCH_MESH.get()
+    if batch_mesh is not None:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        mesh, axis = batch_mesh
+        call = shard_map(call, mesh=mesh,
+                         in_specs=P(None, axis),
+                         out_specs=P(axis),
+                         check_rep=False)
+    return call(x)
+
+
 def instance_norm_fused(x: jnp.ndarray, eps: float = 1e-5,
                         relu: bool = False,
                         phase_groups: int = 1) -> jnp.ndarray:
