@@ -58,6 +58,30 @@ def test_upconv_in_relu_matches_composition(phase_out):
                                atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_decoder_apply_fast_matches_module(dtype):
+    """decoder_apply_fast (phase-decomposed stages, fused IN, 4-phase
+    conv7 tail) == the flax Decoder module, same param tree."""
+    import jax.numpy as jnp
+    from wacv23_tsnet_tpu.nn.decoder import Decoder, decoder_apply_fast
+
+    dec = Decoder(output_nc=3, ngf=8, n_downsampling=3, n_blocks=2,
+                  dtype=jnp.dtype(dtype),
+                  precision="highest" if dtype == "float32" else "default")
+    rng = np.random.default_rng(42)   # own stream: shared-RNG order varies
+    prop = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    syn = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+    params = dec.init(jax.random.PRNGKey(1), prop, syn)["params"]
+    want_img, want_fea = dec.apply({"params": params}, prop, syn)
+    got_img, got_fea = decoder_apply_fast(dec, params, prop, syn,
+                                          return_fea=True)
+    tol = 1e-5 if dtype == "float32" else 6e-2
+    np.testing.assert_allclose(np.asarray(got_img, np.float32),
+                               np.asarray(want_img, np.float32), atol=tol)
+    np.testing.assert_allclose(np.asarray(got_fea, np.float32),
+                               np.asarray(want_fea, np.float32), atol=tol)
+
+
 def test_conv7x7_phase_exact():
     h, w, ci, co = 12, 14, 4, 3
     interleaved = jnp.asarray(
