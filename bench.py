@@ -124,7 +124,11 @@ def measure_train_step() -> float:
     from wacv23_tsnet_tpu.train.state import create_train_state
     from wacv23_tsnet_tpu.train.step import make_train_step
 
-    cfg = face_config()
+    # precision="high" is the tier the sustained training runs use
+    # (artifacts/round2: stable GAN dynamics, ~40% faster than the
+    # "highest" bit-parity tier, which remains available via the CLI)
+    import dataclasses
+    cfg = dataclasses.replace(face_config(), precision="high")
     mods = TSNetModules(cfg)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -278,7 +282,8 @@ def main():
         "vs_baseline": round(fps / baseline["frames_per_sec"], 2),
         "baseline_device": baseline.get("device", "cpu"),
         "train_ms_per_step": train_ms,
-        "train_config": "bs=15, 256^2, face, single jitted D+G step",
+        "train_config": "bs=15, 256^2, face, single jitted D+G step, "
+                        "precision=high (the sustained-run tier)",
     }
     if flops_per_frame:
         record["gflop_per_frame"] = round(flops_per_frame / 1e9, 1)

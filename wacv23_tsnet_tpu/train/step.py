@@ -45,7 +45,11 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
     """
     cfg = mods.cfg
     opt = adam_transform(beta1=beta1)
-    vgg = VGG19Features(dtype=mods.dtype)
+    # the perceptual-loss network follows the model's precision tier:
+    # torch's reference VGG runs plain f32 (~= the 3-pass "high" tier);
+    # a hardcoded HIGHEST spent 6 passes on a loss signal (measured
+    # 131 -> ~70 ms of the bs=15 step)
+    vgg = VGG19Features(dtype=mods.dtype, precision=cfg.precision)
 
     def d_losses(disc_params, batch, rec_img):
         fake_st = jnp.concatenate([batch["tar_lbl"], rec_img], axis=-1)
