@@ -80,10 +80,15 @@ def measure_ours() -> float:
     log(f"[bench] compile+first batch: {time.perf_counter() - t0:.1f}s "
         f"(checksum {checksum:.1f})")
 
+    # Pipelined dispatch (how a streaming client runs): enqueue all
+    # clips, then sync on the checksums — the device executes the queue
+    # back-to-back, so the ~25 ms/call tunnel dispatch latency overlaps
+    # compute instead of serializing with it.
     iters = 10
     t0 = time.perf_counter()
-    for _ in range(iters):
-        float(fn(*args))
+    sums = [fn(*args) for _ in range(iters)]
+    for s_ in sums:
+        float(s_)
     dt = (time.perf_counter() - t0) / iters
     fps = CLIP_FRAMES / dt
     log(f"[bench] ours: {dt * 1e3:.1f} ms / {CLIP_FRAMES} frames "
