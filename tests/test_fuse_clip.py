@@ -36,6 +36,30 @@ def test_instance_norm_mean_bf16_out():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_fuse_train_matches_generic_module():
+    from wacv23_tsnet_tpu.nn.fusenet import fuse_train
+    b, s, hw, c = 2, 3, 8, 32
+    net = FuseNet(ngf=2 * c, n_blocks=1)
+    src = jnp.asarray(RNG.standard_normal((b, s, hw, hw, c)), jnp.float32)
+    tar = jnp.asarray(RNG.standard_normal((b, hw, hw, c)), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), src[:, 0], src[:, 0])["params"]
+
+    want = jnp.mean(jax.vmap(
+        lambda f: net.apply({"params": params}, f, tar),
+        in_axes=1, out_axes=1)(src), axis=1)
+    got = fuse_train(params, src, tar)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=2e-4)
+
+    # differentiable (the generic path is the VJP oracle)
+    g1 = jax.grad(lambda x: jnp.sum(fuse_train(params, x, tar) ** 2))(src)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.mean(jax.vmap(
+        lambda f: net.apply({"params": params}, f, tar),
+        in_axes=1, out_axes=1)(x), axis=1) ** 2))(src)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=2e-3, rtol=2e-3)
+
+
 def test_fuse_clip_matches_generic_module():
     s, f, hw, c = 3, 5, 8, 32
     net = FuseNet(ngf=2 * c, n_blocks=1)

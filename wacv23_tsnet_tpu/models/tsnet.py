@@ -236,16 +236,34 @@ def tsnet_forward(
     prop_fea = jnp.mean(warped_fea, axis=1).astype(dt)  # (B, h, w, C)
 
     # --- synthesis branch ---------------------------------------------
-    syn_fea = jnp.mean(jax.vmap(
-        lambda f: mods.fuse_net.apply({"params": params["fuse_net"]},
-                                      f, tar_lbl_fea),
-        in_axes=1, out_axes=1)(src_img_fea), axis=1)   # (B, h, w, C)
+    if mods.fuse_net.n_blocks == 1:
+        # exact split: conv1's target half runs once per sample instead
+        # of per (sample, source); the final 1x1 commutes with the mean
+        from ..nn.fusenet import fuse_train
+        syn_fea = fuse_train(params["fuse_net"], src_img_fea.astype(dt),
+                             tar_lbl_fea, dtype=mods.fuse_net.dtype,
+                             precision=mods.fuse_net.precision)
+    else:
+        syn_fea = jnp.mean(jax.vmap(
+            lambda f: mods.fuse_net.apply({"params": params["fuse_net"]},
+                                          f, tar_lbl_fea),
+            in_axes=1, out_axes=1)(src_img_fea), axis=1)  # (B, h, w, C)
 
     if train and cfg.use_align_loss:
         out["loss_align"] = cosine_align_loss(prop_fea, syn_fea)
 
-    rec_img, rec_fea = mods.dec.apply({"params": params["dec"]},
-                                      prop_fea, syn_fea)
+    # phase-decomposed decoder (exact; nn.decoder.decoder_apply_fast) —
+    # the flax module's upsample stages run high-res/small-channel convs
+    # (measured 60.5 -> ~42 ms at the bs=15 train-forward shape)
+    from ..nn.decoder import decoder_apply_fast
+
+    def run_dec(pf, sf):
+        return decoder_apply_fast(mods.dec, params["dec"], pf, sf,
+                                  return_fea=True)
+
+    if cfg.remat:
+        run_dec = jax.checkpoint(run_dec)
+    rec_img, rec_fea = run_dec(prop_fea, syn_fea)
     rec_img = rec_img.astype(jnp.float32)
     if cfg.use_fg_mask:
         rec_img = composite_foreground(rec_img, cfg)

@@ -97,3 +97,48 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     x_mean = jnp.concatenate(
         [jnp.broadcast_to(a_mean[None], (f, h, w, c)), t], axis=-1)
     return conv(x_mean + h2m, km) + bm                 # (F, h, w, C)
+
+
+def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
+               dtype=jnp.float32, precision: str = "highest") -> jnp.ndarray:
+    """mean_s FuseNet(src_fea[b, s], tar_fea[b]) for the TRAIN shape:
+    per-sample target features shared across that sample's S sources.
+
+    Exact split of the generic path (same param tree, n_blocks == 1):
+    the concat conv1 runs its source half per (b, s) and its target half
+    per b (instead of per pair), and the final 1x1 commutes with the
+    mean over sources — (S-1)/S of the target-half and final-conv FLOPs
+    drop. Differentiable (plain XLA ops only).
+
+    Args: src_fea (B, S, h, w, C); tar_fea (B, h, w, C).
+    Returns (B, h, w, C).
+    """
+    prec = _PREC[precision]
+    b, s, h, w, c = src_fea.shape
+    blk = params["block0"]
+    k1 = jnp.asarray(blk["conv1"]["kernel"], dtype)
+    b1 = jnp.asarray(blk["conv1"]["bias"], dtype)
+    k2 = jnp.asarray(blk["conv2"]["kernel"], dtype)
+    km = jnp.asarray(params["conv"]["kernel"], dtype)
+    bm = jnp.asarray(params["conv"]["bias"], dtype)
+    a = src_fea.astype(dtype).reshape(b * s, h, w, c)
+    t = tar_fea.astype(dtype)
+
+    def conv(x, k, pad=0):
+        if pad:
+            x = reflect_pad(x, pad)
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+
+    c1a = conv(a, k1[:, :, :c, :], pad=1).reshape(b, s, h, w, 2 * c)
+    c1t = conv(t, k1[:, :, c:, :], pad=1) + b1          # (B, h, w, 2C)
+    hp = (c1a + c1t[:, None]).reshape(b * s, h, w, 2 * c)
+    hp = nn.relu(instance_norm(hp))
+    # b2 dropped (cancels in the IN), IN+mean fused as in fuse_clip
+    h2 = conv(hp, k2, pad=1).reshape(b, s, h, w, 2 * c).transpose(
+        1, 0, 2, 3, 4)                                  # (S, B, h, w, 2C)
+    h2m = instance_norm_mean(h2).astype(dtype)          # (B, h, w, 2C)
+    a_mean = jnp.mean(src_fea.astype(jnp.float32), axis=1).astype(dtype)
+    x_mean = jnp.concatenate([a_mean, t], axis=-1)
+    return conv(x_mean + h2m, km) + bm                  # (B, h, w, C)

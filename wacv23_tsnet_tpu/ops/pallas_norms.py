@@ -91,6 +91,7 @@ def _in_mean_kernel(x_ref, out_ref, acc_ref, *, ns, n, eps):
         out_ref[0] = (acc_ref[...] / ns).astype(out_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
                        out_dtype=None) -> jnp.ndarray:
     """mean_s instance_norm(x[s]) over the leading source axis, fused.
@@ -104,7 +105,9 @@ def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
 
     Statistics are one-pass fp32 E[x^2]-E[x]^2 (see instance_norm's
     note). Honors `batch_partitioning` for use inside GSPMD-sharded
-    jits (shard over the frame axis). Inference-only: no custom VJP.
+    jits (shard over the frame axis). Differentiable via custom_vjp:
+    the backward runs the XLA composition's vjp (recompute, standard
+    flash-style trade).
     """
     ns, f, h, w, c = x.shape
     n = h * w
@@ -146,6 +149,27 @@ def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
                          out_specs=P(axis),
                          check_rep=False)
     return call(x)
+
+
+def _in_mean_ref(x, eps, out_dtype):
+    """XLA composition (the VJP reference): per-(s, f) instance norm in
+    fp32, mean over the source axis."""
+    from .norms import instance_norm
+    y = jax.vmap(instance_norm, in_axes=0)(x.astype(jnp.float32))
+    out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    return jnp.mean(y, axis=0).astype(out_dtype)
+
+
+def _in_mean_fwd(x, eps, out_dtype):
+    return instance_norm_mean(x, eps, out_dtype), x
+
+
+def _in_mean_bwd(eps, out_dtype, x, g):
+    _, vjp = jax.vjp(lambda t: _in_mean_ref(t, eps, out_dtype), x)
+    return vjp(g)
+
+
+instance_norm_mean.defvjp(_in_mean_fwd, _in_mean_bwd)
 
 
 def instance_norm_fused(x: jnp.ndarray, eps: float = 1e-5,
