@@ -149,7 +149,9 @@ def measure_train_step() -> float:
         "tar_lbl": rng.integers(0, 2, (bs, hw, hw, l)).astype(np.float32),
         "tar_bbox": rng.integers(0, 2, (bs, hw, hw)).astype(np.float32),
     }.items()}
-    step = make_train_step(mods, donate=False)
+    # donate=True is what the real trainer (models/api.py) runs with;
+    # it is also required headroom at bs=15 (16 GB HBM)
+    step = make_train_step(mods, donate=True)
     t0 = time.perf_counter()
     state, _, r = step(state, batch, jnp.float32(2e-4))
     float(jnp.sum(r))

@@ -36,8 +36,15 @@ def load_params(path: str, cfg):
             params, example = load_reference_checkpoint(path, cfg)
             print(f"=> loaded reference checkpoint {path} (example {example})")
             return params
-        from ..train.checkpoint import restore_checkpoint
-        params = restore_checkpoint(path, template)
+        from flax import serialization
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        if isinstance(raw, dict) and "gen_params" in raw:
+            # full trainer snapshot (TSNetTrainState): demos need only
+            # the generator subnets, like the reference demo loading the
+            # trainer's .pth (demo/demo_face.py:126-129)
+            raw = raw["gen_params"]
+        params = serialization.from_state_dict(template, raw)
         print(f"=> loaded checkpoint {path}")
         return params
     print("=> no checkpoint found, using random init (demo smoke mode)")
