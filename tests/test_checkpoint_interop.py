@@ -35,3 +35,22 @@ def test_msgpack_roundtrip_through_demo_loader(tmp_path):
     restored = load_params(path, cfg)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(restored)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_trainer_snapshot_through_demo_loader(tmp_path):
+    """The demos accept a FULL TSNetTrainState snapshot (like the
+    reference demo loading the trainer's .pth) and extract gen_params —
+    a trainer-output checkpoint previously failed to load."""
+    from wacv23_tsnet_tpu.cli.demo_face import load_params
+    from wacv23_tsnet_tpu.train.checkpoint import save_checkpoint
+    from wacv23_tsnet_tpu.train.state import create_train_state
+
+    cfg = toy_config()
+    mods = TSNetModules(cfg)
+    state = create_train_state(mods, jax.random.PRNGKey(7))
+    path = str(tmp_path / "TSNet_S000042.msgpack")
+    save_checkpoint(path, state)
+    restored = load_params(path, cfg)
+    for a, b in zip(jax.tree.leaves(state.gen_params),
+                    jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
