@@ -27,7 +27,6 @@ import numpy as np
 from ..configs import TSNetConfig
 from ..train.schedule import lr_poly
 from ..train.state import create_train_state
-from ..train.step import make_train_step
 from .tsnet import TSNetModules, tsnet_forward
 
 
@@ -64,6 +63,10 @@ class TSNet:
             self.state = create_train_state(self.mods, rng,
                                             vgg_params=vgg_params,
                                             beta1=beta1)
+            # deferred: train.step imports models.tsnet, so a module-
+            # level import here is circular when wacv23_tsnet_tpu.train
+            # is imported before wacv23_tsnet_tpu.models
+            from ..train.step import make_train_step
             self._train_step = make_train_step(
                 self.mods, lambda_dec=lambda_dec, beta1=beta1,
                 use_pallas=use_pallas)

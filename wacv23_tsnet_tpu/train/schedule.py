@@ -16,7 +16,13 @@ import jax.numpy as jnp
 
 def lr_poly(base_lr: float, it, initial_iter: int, max_iter: int,
             power: float = 1.0):
-    frac = jnp.maximum(0.0, (it - initial_iter) / (max_iter - initial_iter))
+    # clamped to [0, 1]: identical to the reference formula
+    # (model/TSNet.py:523-524) inside its domain, but training past
+    # max_iter yields lr=0 instead of a NEGATIVE lr (power=1) or NaN
+    # (fractional power on a negative base) — reachable with small
+    # datasets where steps_per_epoch * max_epoch < final_step
+    frac = jnp.clip((it - initial_iter) / (max_iter - initial_iter),
+                    0.0, 1.0)
     return base_lr * (1.0 - frac) ** power
 
 
