@@ -36,6 +36,31 @@ def test_instance_norm_mean_bf16_out():
                                atol=2e-2, rtol=2e-2)
 
 
+def test_instance_norm_mean_degenerate_channel_is_finite():
+    # A near-constant channel with a large mean makes the one-pass
+    # E[x^2]-E[x]^2 variance cancel below zero in fp32; unclamped, the
+    # rsqrt NaNs and poisons the training step (advisor repro, round 2).
+    x = jnp.full((1, 2, 8, 8, 16), 300.0, jnp.float32)
+    x = x + jnp.asarray(RNG.standard_normal(x.shape) * 1e-3, jnp.float32)
+    got = instance_norm_mean(x)
+    assert bool(jnp.all(jnp.isfinite(got)))
+
+
+def test_instance_norm_degenerate_channel_is_finite():
+    from wacv23_tsnet_tpu.ops.upconv import instance_norm_phase
+    from wacv23_tsnet_tpu.ops.pallas_norms import instance_norm_fused
+    base = jnp.full((2, 8, 8, 16), 300.0, jnp.float32)
+    noise = jnp.asarray(RNG.standard_normal(base.shape) * 1e-3, jnp.float32)
+    x = (base + noise).astype(jnp.bfloat16)  # bf16 takes the one-pass branch
+    assert bool(jnp.all(jnp.isfinite(instance_norm(x).astype(jnp.float32))))
+    assert bool(jnp.all(jnp.isfinite(
+        instance_norm_phase(x).astype(jnp.float32))))
+    assert bool(jnp.all(jnp.isfinite(
+        instance_norm_fused(x).astype(jnp.float32))))
+    assert bool(jnp.all(jnp.isfinite(
+        instance_norm_fused(x, phase_groups=4).astype(jnp.float32))))
+
+
 def test_fuse_train_matches_generic_module():
     from wacv23_tsnet_tpu.nn.fusenet import fuse_train
     b, s, hw, c = 2, 3, 8, 32

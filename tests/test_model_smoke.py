@@ -111,6 +111,45 @@ def test_remat_train_step_matches_params_and_runs():
                for g in jax.tree.leaves(grads))
 
 
+def test_use_pallas_false_is_pallas_free():
+    """use_pallas=False is the debugging escape hatch for bisecting
+    Pallas/Mosaic issues on TPU; it must not trace ANY pallas_call
+    (advisor round-2 finding: fuse_train's fused IN snuck one in)."""
+    import jax
+    import jax.numpy as jnp
+    from wacv23_tsnet_tpu.models import TSNetModules, tsnet_forward
+    from wacv23_tsnet_tpu.models.tsnet import (decode_with_sources,
+                                               encode_sources)
+
+    cfg = toy_config()
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(2)
+    s, hw, l = cfg.n_source, cfg.image_size, cfg.label_nc
+    src_img = jnp.asarray(rng.random((1, s, hw, hw, 3), np.float32))
+    src_lbl = jnp.asarray(rng.integers(0, 2, (1, s, hw, hw, l))
+                          .astype(np.float32))
+    src_box = jnp.asarray(rng.integers(0, 2, (1, s, hw, hw))
+                          .astype(np.float32))
+    tar_img = jnp.asarray(rng.random((1, hw, hw, 3), np.float32))
+    tar_lbl = jnp.asarray(rng.integers(0, 2, (1, hw, hw, l))
+                          .astype(np.float32))
+    tar_box = jnp.asarray(rng.integers(0, 2, (1, hw, hw)).astype(np.float32))
+
+    jaxpr = jax.make_jaxpr(
+        lambda p: tsnet_forward(mods, p, src_img, src_lbl, src_box, tar_lbl,
+                                tar_box, tar_img=tar_img, train=True,
+                                use_pallas=False)["rec_img"])(params)
+    assert "pallas" not in str(jaxpr)
+
+    # clip path too (fuse_clip shares the fused-IN helper)
+    pack = encode_sources(mods, params, src_img[0], src_lbl[0], src_box[0])
+    jaxpr2 = jax.make_jaxpr(
+        lambda p: decode_with_sources(mods, p, pack, tar_lbl, tar_box,
+                                      use_pallas=False))(params)
+    assert "pallas" not in str(jaxpr2)
+
+
 def test_poly_lr_schedule_matches_reference():
     from wacv23_tsnet_tpu.train.schedule import lr_poly
 

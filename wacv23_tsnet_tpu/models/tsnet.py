@@ -242,7 +242,8 @@ def tsnet_forward(
         from ..nn.fusenet import fuse_train
         syn_fea = fuse_train(params["fuse_net"], src_img_fea.astype(dt),
                              tar_lbl_fea, dtype=mods.fuse_net.dtype,
-                             precision=mods.fuse_net.precision)
+                             precision=mods.fuse_net.precision,
+                             use_pallas=bool(use_pallas))
     else:
         syn_fea = jnp.mean(jax.vmap(
             lambda f: mods.fuse_net.apply({"params": params["fuse_net"]},
@@ -332,7 +333,8 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
         syn_fea = fuse_clip(params["fuse_net"], src_fea.astype(jnp.float32),
                             tar_fea.astype(jnp.float32),
                             dtype=mods.fuse_net.dtype,
-                            precision=mods.fuse_net.precision)
+                            precision=mods.fuse_net.precision,
+                            use_pallas=bool(use_pallas))
     else:
         def fuse_one_source(fea_s):
             fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape).astype(dt)

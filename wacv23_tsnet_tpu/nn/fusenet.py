@@ -46,8 +46,19 @@ _PREC = {
 }
 
 
+def _in_mean(x, use_pallas: bool):
+    """IN + mean-over-leading-axis: fused Pallas kernel, or the pure-XLA
+    composition when `use_pallas=False` (the debugging escape hatch —
+    tsnet_forward(use_pallas=False) must stay Pallas-free)."""
+    if use_pallas:
+        return instance_norm_mean(x)
+    from ..ops.pallas_norms import _in_mean_ref
+    return _in_mean_ref(x, 1e-5, None)
+
+
 def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
-              dtype=jnp.float32, precision: str = "highest") -> jnp.ndarray:
+              dtype=jnp.float32, precision: str = "highest",
+              use_pallas: bool = True) -> jnp.ndarray:
     """mean_s FuseNet(src_fea[s], tar_fea[f]) for all frames, split form.
 
     Exact algebraic restructuring of the generic path for S shared
@@ -92,7 +103,7 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     # (S*F, ...) tensor twice; measured 12.4 -> ~4 ms/clip).
     del b2
     h2 = conv(hp, k2, pad=1).reshape(s, f, h, w, 2 * c)
-    h2m = instance_norm_mean(h2).astype(dtype)         # (F, h, w, 2C)
+    h2m = _in_mean(h2, use_pallas).astype(dtype)       # (F, h, w, 2C)
     a_mean = jnp.mean(a.astype(jnp.float32), axis=0).astype(dtype)
     x_mean = jnp.concatenate(
         [jnp.broadcast_to(a_mean[None], (f, h, w, c)), t], axis=-1)
@@ -100,7 +111,8 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
 
 
 def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
-               dtype=jnp.float32, precision: str = "highest") -> jnp.ndarray:
+               dtype=jnp.float32, precision: str = "highest",
+               use_pallas: bool = True) -> jnp.ndarray:
     """mean_s FuseNet(src_fea[b, s], tar_fea[b]) for the TRAIN shape:
     per-sample target features shared across that sample's S sources.
 
@@ -138,7 +150,7 @@ def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     # b2 dropped (cancels in the IN), IN+mean fused as in fuse_clip
     h2 = conv(hp, k2, pad=1).reshape(b, s, h, w, 2 * c).transpose(
         1, 0, 2, 3, 4)                                  # (S, B, h, w, 2C)
-    h2m = instance_norm_mean(h2).astype(dtype)          # (B, h, w, 2C)
+    h2m = _in_mean(h2, use_pallas).astype(dtype)        # (B, h, w, 2C)
     a_mean = jnp.mean(src_fea.astype(jnp.float32), axis=1).astype(dtype)
     x_mean = jnp.concatenate([a_mean, t], axis=-1)
     return conv(x_mean + h2m, km) + bm                  # (B, h, w, C)

@@ -30,7 +30,9 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
         s1 = jnp.sum(xf, axis=(1, 2), keepdims=True)
         s2 = jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True)
         mean = s1 / n
-        var = s2 / n - jnp.square(mean)
+        # clamp: the cancellation can dip below 0 for near-constant
+        # channels with large mean, which would NaN the rsqrt
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
         return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
     # Compute statistics in fp32 for bf16 inputs — IN is variance-sensitive.
     xf = x.astype(jnp.float32)

@@ -75,7 +75,11 @@ def _in_mean_kernel(x_ref, out_ref, acc_ref, *, ns, n, eps):
     si = pl.program_id(2)
     xf = x_ref[0, 0].astype(jnp.float32)              # (N, C)
     mean = jnp.sum(xf, axis=0, keepdims=True) / n
-    var = jnp.sum(xf * xf, axis=0, keepdims=True) / n - mean * mean
+    # E[x^2]-E[x]^2 cancellation can go (slightly) negative for
+    # near-constant channels with large mean; unclamped it NaNs the
+    # rsqrt and poisons the whole step. Clamp at 0 before adding eps.
+    var = jnp.maximum(
+        jnp.sum(xf * xf, axis=0, keepdims=True) / n - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
 
     @pl.when(si == 0)
@@ -213,12 +217,12 @@ def instance_norm_fused(x: jnp.ndarray, eps: float = 1e-5,
         s = jnp.sum(sums.reshape(b, g, cc), axis=1)
         q = jnp.sum(sqs.reshape(b, g, cc), axis=1)
         mean = s / (n * g)
-        var = q / (n * g) - mean * mean
+        var = jnp.maximum(q / (n * g) - mean * mean, 0.0)
         mean = jnp.tile(mean, (1, g)).reshape(b, 1, c)
         inv = jnp.tile(jax.lax.rsqrt(var + eps), (1, g)).reshape(b, 1, c)
     else:
         mean = sums / n
-        var = sqs / n - mean * mean
+        var = jnp.maximum(sqs / n - mean * mean, 0.0)
         inv = jax.lax.rsqrt(var + eps)
 
     out = pl.pallas_call(

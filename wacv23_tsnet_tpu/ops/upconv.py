@@ -215,7 +215,10 @@ def upconv_in_relu(x: jnp.ndarray, kernel: jnp.ndarray,
     s1r, s2r = sums(right, (1, 2, 3))
     n = h * w * 4
     mean = (s1i + s1t + s1b + s1l + s1r) / n               # (B, Co)
-    var = (s2i + s2t + s2b + s2l + s2r) / n - jnp.square(mean)
+    # clamp: one-pass variance can cancel below 0 for near-constant
+    # channels with large mean, which would NaN the rsqrt
+    var = jnp.maximum(
+        (s2i + s2t + s2b + s2l + s2r) / n - jnp.square(mean), 0.0)
     mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]       # (B, 1, 1, 4Co)
     inv4 = jnp.tile(jax.lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
 
@@ -242,7 +245,7 @@ def instance_norm_phase(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
         s1 = jnp.sum(xf, axis=(1, 2, 3), keepdims=True)
         s2 = jnp.sum(jnp.square(xf), axis=(1, 2, 3), keepdims=True)
         mean = s1 / n
-        var = s2 / n - jnp.square(mean)
+        var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
     else:
         mean = jnp.mean(xf, axis=(1, 2, 3), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(1, 2, 3), keepdims=True)
