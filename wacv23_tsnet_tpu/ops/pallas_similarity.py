@@ -678,10 +678,240 @@ def _pairs_fwd(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
     return out, (src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid)
 
 
+# ---------------------------------------------------------------------------
+# flash-style backward for transform_warp_pairs (VERDICT round-2 item 1).
+#
+# The einsum-VJP fallback materialized the (G*NS*NF, T, T) fp32 attention
+# matrix in HBM twice per training step (recompute + cotangent) — the
+# exact traffic the forward kernel exists to avoid. This kernel recomputes
+# logits/softmax/flow/tent-weights per target tile in VMEM (the standard
+# flash trade: FLOPs for HBM) and chains all six input cotangents without
+# the attention or tent-weight matrices ever reaching HBM.
+#
+# Cotangent algebra (per pair; L=logits, K=mask coeff, P=softmax rows,
+# W=bilinear tent weights, a=un-normalized source features):
+#   warped = W @ a           -> da += W^T gw ;  dW = gw a^T
+#   W[t,s] = wx*wy           -> d ix = sum_s dW*wy*sign(sx-ix)*1{|dx|<1}
+#   ix = (fx+1)w/2 - 1/2     -> gflow = gf + (w/2, h/2)*d(ix, iy)
+#   flow = P @ grid          -> gP = gflow_x gx^T + gflow_y gy^T (rank-2,
+#                               VPU broadcast, no matmul) ; dgrid = P^T gflow
+#   P = softmax(temp L K)    -> gz = P*(gP - rowsum(gP*P));
+#                               gL = temp K gz ; gK = temp L gz
+#   L = tn sn^T              -> gtn = gL sn ; gsn += gL^T tn
+#   K = mt ms^T+(1-mt)(1-ms)^T -> gmt = rowsum(gK (2ms-1)); gms += colsum(...)
+#
+# Accumulation layout on the (G, NS, NF, tiles) grid: da/gsn/gms are
+# indexed (gi, si) and accumulate in-place across the INNER (fi, ti) axes
+# (consecutive revisits — the only pattern Pallas output blocks support);
+# gtn/gmt would need the opposite nesting, so they are emitted per-pair
+# and reduced over NS outside the kernel (for the train shape NF=1 that
+# is (G, NS, T, C) — tiny next to the (G*NS, T, T) attention it avoids).
+# ---------------------------------------------------------------------------
+
+_TILE_BWD = 128
+
+
+def _pairs_bwd_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, gridt_ref,
+                      fea_ref, gw_ref, gf_ref,
+                      da_ref, gsn_ref, gtn_ref, gmt_ref, gms_ref, gg_ref,
+                      *, temp, h, w):
+    gi = pl.program_id(0)
+    si = pl.program_id(1)
+    fi = pl.program_id(2)
+    ti = pl.program_id(3)
+    first_pair = jnp.logical_and(fi == 0, ti == 0)
+    first_all = jnp.logical_and(jnp.logical_and(gi == 0, si == 0),
+                                first_pair)
+
+    tt = t_ref[0, 0].astype(jnp.float32)           # (TILE, C)
+    ss = s_ref[0, 0].astype(jnp.float32)           # (T, C) normalized
+    a = fea_ref[0, 0].astype(jnp.float32)          # (T, C) un-normalized
+    mt = mt_ref[0, 0].astype(jnp.float32)          # (TILE, 1)
+    ms = ms_ref[0, 0].astype(jnp.float32)          # (1, T)
+    gw_t = gw_ref[0, 0, 0].astype(jnp.float32)     # (TILE, C)
+    gfx = gf_ref[0, 0, 0][:, 0:1].astype(jnp.float32)   # (TILE, 1)
+    gfy = gf_ref[0, 0, 0][:, 1:2].astype(jnp.float32)
+
+    hi = jax.lax.Precision.HIGHEST
+
+    def dot(x, y, dims):
+        return jax.lax.dot_general(x, y, dimension_numbers=(dims, ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=hi)
+
+    # ---- forward recompute (identical ops/precision to _pair_kernel) ----
+    logits = dot(tt, ss, ((1,), (1,)))             # (TILE, T)
+    coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
+    z = temp * (logits * coeff)
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)     # (TILE, T)
+    flow = dot(p, grid_ref[:], ((1,), (0,)))       # (TILE, LANES)
+    ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
+    iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
+    dx = (s_ids % w).astype(jnp.float32) - ix      # (TILE, T)
+    dy = (s_ids // w).astype(jnp.float32) - iy
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(dx))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+
+    # ---- warp backward ----
+    da_c = dot(wx * wy, gw_t, ((0,), (0,)))        # (T, C)
+    gw_mat = dot(gw_t, a, ((1,), (1,)))            # dW = gw a^T  (TILE, T)
+    dwx = jnp.sign(dx) * (jnp.abs(dx) < 1.0)
+    dwy = jnp.sign(dy) * (jnp.abs(dy) < 1.0)
+    gix = jnp.sum(gw_mat * wy * dwx, axis=-1, keepdims=True)   # (TILE, 1)
+    giy = jnp.sum(gw_mat * wx * dwy, axis=-1, keepdims=True)
+    gflow_x = gfx + gix * (w * 0.5)
+    gflow_y = gfy + giy * (h * 0.5)
+
+    # ---- flow backward: gP is rank-2, a VPU broadcast not a matmul ----
+    gxr = gridt_ref[0:1]                           # (1, T)
+    gyr = gridt_ref[1:2]
+    g_p = gflow_x * gxr + gflow_y * gyr            # (TILE, T)
+
+    # ---- softmax + mask backward ----
+    gz = p * (g_p - jnp.sum(g_p * p, axis=-1, keepdims=True))
+    gl = temp * coeff * gz
+    gk = temp * logits * gz
+    gtn_ref[0, 0, 0] = dot(gl, ss, ((1,), (0,)))   # (TILE, C)
+    gsn_c = dot(gl, tt, ((0,), (0,)))              # (T, C)
+    gmt_ref[0, 0, 0] = jnp.sum(gk * (2.0 * ms - 1.0), axis=-1).reshape(1, -1)
+    gms_c = jnp.sum(gk * (2.0 * mt - 1.0), axis=0, keepdims=True)  # (1, T)
+    ggx_c = jnp.sum(p * gflow_x, axis=0, keepdims=True)            # (1, T)
+    ggy_c = jnp.sum(p * gflow_y, axis=0, keepdims=True)
+
+    @pl.when(first_pair)
+    def _():
+        da_ref[0, 0] = da_c
+        gsn_ref[0, 0] = gsn_c
+        gms_ref[0, 0] = gms_c
+
+    @pl.when(jnp.logical_not(first_pair))
+    def _():
+        da_ref[0, 0] = da_ref[0, 0] + da_c
+        gsn_ref[0, 0] = gsn_ref[0, 0] + gsn_c
+        gms_ref[0, 0] = gms_ref[0, 0] + gms_c
+
+    @pl.when(first_all)
+    def _():
+        gg_ref[0:1] = ggx_c
+        gg_ref[1:2] = ggy_c
+
+    @pl.when(jnp.logical_not(first_all))
+    def _():
+        gg_ref[0:1] = gg_ref[0:1] + ggx_c
+        gg_ref[1:2] = gg_ref[1:2] + ggy_c
+
+
+def _pairs_bwd_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
+                      grid_t, gw, gf_padded, temp, h, w):
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    tile_t = min(_TILE_BWD, t)
+    kernel = functools.partial(_pairs_bwd_kernel, temp=temp, h=h, w=w)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((g, ns, t, c), jnp.float32),      # da
+            jax.ShapeDtypeStruct((g, ns, t, c), jnp.float32),      # gsn
+            jax.ShapeDtypeStruct((g, ns, nf, t, c), jnp.float32),  # gtn/pair
+            # gmt/gms carry an explicit singleton axis before the pixel
+            # axis so their blocks' last-two dims are (1, tile)/(1, t)
+            # against a singleton array dim — Mosaic requires the
+            # second-to-minor block dim be 8-divisible or equal to the
+            # array dim (interpret mode never checks this)
+            jax.ShapeDtypeStruct((g, ns, nf, 1, t), jnp.float32),  # gmt/pair
+            jax.ShapeDtypeStruct((g, ns, 1, t), jnp.float32),      # gms
+            jax.ShapeDtypeStruct((2, t), jnp.float32),             # ggrid
+        ),
+        grid=(g, ns, nf, t // tile_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_t, c),
+                         lambda gi, si, fi, ti: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, c),
+                         lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t, 1),
+                         lambda gi, si, fi, ti: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t),
+                         lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _LANES), lambda gi, si, fi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, t), lambda gi, si, fi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, c),
+                         lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t, c),
+                         lambda gi, si, fi, ti: (gi, si, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t, _LANES),
+                         lambda gi, si, fi, ti: (gi, si, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, t, c), lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, c), lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, tile_t, c),
+                         lambda gi, si, fi, ti: (gi, si, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 1, tile_t),
+                         lambda gi, si, fi, ti: (gi, si, fi, 0, ti),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t), lambda gi, si, fi, ti: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, t), lambda gi, si, fi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * ns * nf * t * t * (5 * c + _LANES),
+            bytes_accessed=4 * (3 * g * ns * t * c + 2 * g * nf * t * c
+                                + 2 * g * ns * nf * t * c),
+            transcendentals=g * ns * nf * t * t,
+        ),
+        # four (T, C) blocks (ss, a, da, gsn) live double-buffered plus
+        # the (TILE, T) temporaries: ~26 MB at the shipped shape — above
+        # the 16 MB default scoped-VMEM budget, well inside the 128 MB
+        # physical VMEM. The forward kernels stay at the default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(tar_fea_n, src_fea_n, mt, ms, grid_padded, grid_t, src_fea,
+      gw, gf_padded)
+
+
 def _pairs_bwd(h, w, temp, fast_warp, residuals, g):
-    _, vjp = jax.vjp(
-        lambda *a: _pairs_ref(*a, h=h, w=w, temp=temp), *residuals)
-    return vjp(g)
+    src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid = residuals
+    gb, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    if t % min(_TILE_BWD, t) != 0:
+        _, vjp = jax.vjp(
+            lambda *a: _pairs_ref(*a, h=h, w=w, temp=temp), *residuals)
+        return vjp(g)
+    gw, gf = g
+    gf_padded = jnp.zeros(gf.shape[:-1] + (_LANES,), jnp.float32
+                          ).at[..., :2].set(gf.astype(jnp.float32))
+    grid_padded = jnp.zeros((t, _LANES), jnp.float32).at[:, :2].set(
+        grid.astype(jnp.float32))
+    grid_t = grid.astype(jnp.float32).T              # (2, T)
+    da, gsn, gtn_pairs, gmt_pairs, gms, gg = _pairs_bwd_pallas(
+        src_fea.astype(jnp.float32), tar_fea_n.astype(jnp.float32),
+        src_fea_n.astype(jnp.float32),
+        tar_mask.astype(jnp.float32).reshape(gb, nf, t, 1),
+        src_mask.astype(jnp.float32).reshape(gb, ns, 1, t),
+        grid_padded, grid_t, gw.astype(jnp.float32), gf_padded, temp, h, w)
+    return (da.astype(src_fea.dtype),
+            jnp.sum(gtn_pairs, axis=1).astype(tar_fea_n.dtype),
+            gsn.astype(src_fea_n.dtype),
+            jnp.sum(gmt_pairs, axis=1)[..., 0, :].astype(tar_mask.dtype),
+            gms[:, :, 0, :].astype(src_mask.dtype),
+            gg.T.astype(grid.dtype))
 
 
 transform_warp_pairs.defvjp(_pairs_fwd, _pairs_bwd)
