@@ -75,13 +75,14 @@ def test_pose_jax_rasterizer_agrees_with_cpu_tier():
         for cls in np.unique(gi):
             if (gi == cls).sum() > 2:
                 assert cls in ci, cls
-        # quantified stroke-geometry divergence (VERDICT.md item 7): the
-        # device tier reproduces the square-brush Minkowski sums and
-        # endpoint disks; residual drift is the int cast of sample
-        # positions and border clamping. Measured 0.92-0.93 foreground /
-        # 0.84-0.86 mean per-class IoU on these frames.
+        # quantified stroke-geometry divergence (VERDICT round-2 item
+        # 8): the device tier now models the oracle's DISCRETE stamping
+        # exactly (integer-sample windows in closed form); residual is
+        # FP-boundary pixels of the oracle's polyfit/linspace rounding.
+        # Measured 0.998-1.000 foreground / >=0.999 mean per-class IoU
+        # on these frames (round 2: 0.92 / 0.85).
         fg_iou = ((gi > 0) & (ci > 0)).sum() / max(((gi > 0) | (ci > 0)).sum(), 1)
-        assert fg_iou > 0.85, fg_iou
+        assert fg_iou > 0.99, fg_iou
         ious = []
         for cls in np.unique(ci):
             if cls == 0:
@@ -89,7 +90,48 @@ def test_pose_jax_rasterizer_agrees_with_cpu_tier():
             inter = ((gi == cls) & (ci == cls)).sum()
             union = ((gi == cls) | (ci == cls)).sum()
             ious.append(inter / max(union, 1))
-        assert np.mean(ious) > 0.75, np.mean(ious)
+        assert np.mean(ious) > 0.99, np.mean(ious)
+
+
+def test_stamp_cover_matches_cpu_stamping_randomized():
+    """Property test: the closed-form integer-sample coverage equals the
+    CPU tier's interp_curve + stamp_edge pixel-for-pixel on random
+    2-point edges (all pose/hand edges are 2-point), across brush
+    widths and including sub-pixel and steep/shallow spans."""
+    from wacv23_tsnet_tpu.data.rasterize_jax import _stamp_cover
+
+    h = w = 64
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    pix = jnp.asarray(np.stack([xs.ravel(), ys.ravel()], -1))
+
+    mismatch = total = 0
+    for trial in range(60):
+        # margin keeps strokes off the border (the CPU tier clamps
+        # there, a documented divergence)
+        a = RNG.uniform(10, 54, 2)
+        scale = RNG.choice([0.4, 2.0, 8.0, 30.0])
+        b = np.clip(a + RNG.uniform(-1, 1, 2) * scale, 10, 54)
+        bw = int(RNG.integers(1, 4))
+
+        img = np.zeros((h, w), np.uint8)
+        cx, cy = ras.interp_curve([a[0], b[0]], [a[1], b[1]])
+        ras.stamp_edge(img, cx, cy, bw=bw, color=(255, 255, 255))
+        want = img > 0
+
+        got = np.asarray(_stamp_cover(
+            pix, jnp.asarray(a[None], jnp.float32),
+            jnp.asarray(b[None], jnp.float32),
+            jnp.float32(bw))).reshape(h, w)
+        mismatch += (got != want).sum()
+        total += want.sum()
+    # residual: FP-boundary flips only — e.g. the oracle's
+    # polyval(coef, 54.0) evaluating to 9.9999999 where the line's true
+    # value is exactly 10, flooring one pixel lower than the closed
+    # form (traced pixel-by-pixel; integer endpoints from the clip
+    # above make this maximally frequent). Bounded at 1% of stamped
+    # pixels; real demo data measures 0.998+ IoU.
+    assert mismatch <= max(2, 0.01 * total), (mismatch, total)
 
 
 @needs_reference
@@ -110,5 +152,6 @@ def test_face_jax_rasterizer_agrees_with_cpu_tier():
     assert got.sum() > 0
     inter = ((got > 0) & (cpu > 0)).sum()
     union = ((got > 0) | (cpu > 0)).sum()
-    assert inter / union > 0.6          # stroke-level overlap
-    assert (got == cpu).mean() > 0.97   # pixel agreement incl. background
+    # exact quadratic-curve stamping (round 2 segment approx: 0.6 / 0.97)
+    assert inter / union > 0.99         # stroke-level overlap
+    assert (got == cpu).mean() > 0.999  # pixel agreement incl. background
