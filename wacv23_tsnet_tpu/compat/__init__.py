@@ -11,6 +11,10 @@ from .torch_export import (
     reference_checkpoint,
     save_reference_checkpoint,
 )
+from .reference_loop import (
+    load_reference_tsnet,
+    run_reference_clip,
+)
 
 __all__ = [
     "convert_conv_kernel",
@@ -22,4 +26,6 @@ __all__ = [
     "load_reference_checkpoint",
     "reference_checkpoint",
     "save_reference_checkpoint",
+    "load_reference_tsnet",
+    "run_reference_clip",
 ]
