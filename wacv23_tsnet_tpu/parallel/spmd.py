@@ -43,7 +43,17 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def _param_spec(path_names: list[str]) -> P:
-    """TP rule for one param leaf, from its flattened path names."""
+    """TP rule for one param leaf, from its flattened path names.
+
+    TP deliberately covers ONLY ResNet-block conv pairs: they hold ~85%
+    of generator FLOPs/params and shard without extra collectives (conv1
+    out-channels / conv2 in-channels, one psum per block). The stem,
+    down/up-sample convs, and discriminators replicate — at 512 max
+    channels their per-device compute is too small for a channel split
+    to beat the all-reduce it would add, and replicated they need no
+    communication at all (this model is ~60M params; memory is not the
+    constraint TP exists to solve here).
+    """
     inside_block = any(n.startswith("block") for n in path_names)
     leaf = path_names[-1]
     if inside_block and "conv1" in path_names:
