@@ -56,6 +56,95 @@ def timed(name: str, fn, args, repeats: int = 8, iters: int = 3) -> float:
     return ms
 
 
+def profile_train(args) -> None:
+    """Per-stage timing of the TRAIN step at shipped scale: generator
+    forward, forward+backward (vjp), discriminator phase, VGG loss, and
+    the full jitted D+G step — so the train-side roofline discussion has
+    stage numbers, like the inference path has (VERDICT round-2 item 1)."""
+    import warnings
+
+    from ..models.tsnet import tsnet_forward
+    from ..nn import VGG19Features, load_vgg19_params
+    from ..losses import vgg_perceptual_loss
+    from ..train.state import create_train_state
+    from ..train.step import make_train_step
+
+    cfg = dataclasses.replace(face_config(), precision=args.precision)
+    mods = TSNetModules(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg_params = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(0),
+                               vgg_params=vgg_params)
+    rng = np.random.default_rng(0)
+    bs, hw, l, s = args.batch_size, cfg.image_size, cfg.label_nc, \
+        cfg.n_source
+    batch = {k: jnp.asarray(v) for k, v in {
+        "src_img": rng.random((bs, s, hw, hw, 3), np.float32),
+        "src_lbl": rng.integers(0, 2, (bs, s, hw, hw, l)).astype(np.float32),
+        "src_bbox": rng.integers(0, 2, (bs, s, hw, hw)).astype(np.float32),
+        "tar_img": rng.random((bs, hw, hw, 3), np.float32),
+        "tar_lbl": rng.integers(0, 2, (bs, hw, hw, l)).astype(np.float32),
+        "tar_bbox": rng.integers(0, 2, (bs, hw, hw)).astype(np.float32),
+    }.items()}
+    print(f"device={jax.devices()[0]} TRAIN bs={bs} {hw}^2 "
+          f"precision={cfg.precision}", flush=True)
+
+    def gen_fwd(p_, b_, eps):
+        out = tsnet_forward(
+            mods, p_, b_["src_img"] + eps, b_["src_lbl"], b_["src_bbox"],
+            b_["tar_lbl"], b_["tar_bbox"], tar_img=b_["tar_img"], train=True)
+        return out["rec_img"] + out["loss_warp"]
+
+    def gen_fwd_bwd(p_, b_, eps):
+        val, vjp = jax.vjp(lambda q: gen_fwd(q, b_, eps), p_)
+        (g,) = vjp(jnp.ones_like(val))
+        return val + sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+
+    def disc_fwd_bwd(p_, b_, rec, eps):
+        def loss(q):
+            fake = jnp.concatenate([b_["tar_lbl"], rec + eps], axis=-1)
+            real = jnp.concatenate([b_["tar_lbl"], b_["tar_img"]], axis=-1)
+            pf = mods.netD.apply({"params": q}, fake)
+            pr = mods.netD.apply({"params": q}, real)
+            return sum(jnp.sum(jnp.abs(t)) for t in pf + pr)
+
+        val, g = jax.value_and_grad(loss)(p_["netD"])
+        return val + sum(jnp.sum(jnp.abs(x)) for x in jax.tree.leaves(g))
+
+    vgg_net = VGG19Features(dtype=mods.dtype, precision=cfg.precision)
+
+    def vgg_fwd_bwd(vp, rec, tar, eps):
+        def loss(r):
+            return vgg_perceptual_loss(vgg_net, vp, r, tar)
+
+        val, g = jax.value_and_grad(loss)(rec + eps)
+        return val + jnp.sum(jnp.abs(g))
+
+    rec = jnp.asarray(rng.random((bs, hw, hw, 3), np.float32))
+    total_fwd = timed("generator forward", gen_fwd,
+                      (state.gen_params, batch), repeats=4)
+    fwdbwd = timed("generator fwd+bwd (vjp)", gen_fwd_bwd,
+                   (state.gen_params, batch), repeats=4)
+    print(f"  {'-> generator backward':<28s} {fwdbwd - total_fwd:8.1f} "
+          f"ms (difference)")
+    timed("netD fwd+bwd (fake+real)", disc_fwd_bwd,
+          (state.disc_params, batch, rec), repeats=4)
+    timed("VGG loss fwd+bwd", vgg_fwd_bwd,
+          (state.vgg_params, rec, batch["tar_img"]), repeats=4)
+
+    step = make_train_step(mods, donate=False)
+    lr = jnp.float32(2e-4)
+    step(state, batch, lr)  # compile
+    t0 = time.perf_counter()
+    iters = 3
+    for _ in range(iters):
+        _, m, r = step(state, batch, lr)
+    jax.block_until_ready(r)
+    print(f"  {'FULL jitted D+G step':<28s} "
+          f"{(time.perf_counter() - t0) / iters * 1e3:8.1f} ms")
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=128)
@@ -63,7 +152,13 @@ def main() -> None:
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--precision", default="high")
     p.add_argument("--no-fast-tail", action="store_true")
+    p.add_argument("--train", action="store_true",
+                   help="profile the TRAIN step stages instead")
+    p.add_argument("--batch-size", type=int, default=15)
     args = p.parse_args()
+    if args.train:
+        profile_train(args)
+        return
 
     cfg = dataclasses.replace(face_config(), precision=args.precision,
                               fast_tail=not args.no_fast_tail)
