@@ -38,12 +38,19 @@ gf = jnp.asarray(rng.standard_normal((g, ns, nf, t, 2)) * 0.01, jnp.float32)
 
 temp = 10.0  # unsaturated softmax so grads are non-trivial (see tests)
 fused = functools.partial(ps.transform_warp_pairs, h=h, w=w, temp=temp)
+fused3 = functools.partial(ps.transform_warp_pairs, h=h, w=w, temp=temp,
+                           bwd_fast3=True)
 ref = functools.partial(ps._pairs_ref, h=h, w=w, temp=temp)
 
 
 @jax.jit
 def vf(gw_, gf_, *a):
     return jax.vjp(fused, *a)[1]((gw_, gf_))
+
+
+@jax.jit
+def vf3(gw_, gf_, *a):
+    return jax.vjp(fused3, *a)[1]((gw_, gf_))
 
 
 @jax.jit
@@ -60,13 +67,23 @@ gre = vr(gw, gf, *args)
 jax.block_until_ready(gre)
 print(f"einsum bwd compile+1st: {time.perf_counter() - t0:.1f}s", flush=True)
 
+t0 = time.perf_counter()
+gf3 = vf3(gw, gf, *args)
+jax.block_until_ready(gf3)
+print(f"fast3 bwd compile+1st: {time.perf_counter() - t0:.1f}s", flush=True)
+
 names = ["da", "gtn", "gsn", "gmt", "gms", "ggrid"]
 for n, a_, b_ in zip(names, gfu, gre):
     scale = float(jnp.max(jnp.abs(b_))) or 1.0
     err = float(jnp.max(jnp.abs(a_ - b_))) / scale
     print(f"  {n}: rel maxerr {err:.2e} (scale {scale:.2e})", flush=True)
+print("fast3 vs einsum VJP:", flush=True)
+for n, a_, b_ in zip(names, gf3, gre):
+    scale = float(jnp.max(jnp.abs(b_))) or 1.0
+    err = float(jnp.max(jnp.abs(a_ - b_))) / scale
+    print(f"  {n}: rel maxerr {err:.2e} (scale {scale:.2e})", flush=True)
 
-for name, fn in (("fused_bwd", vf), ("einsum_bwd", vr)):
+for name, fn in (("fused_bwd", vf), ("fast3_bwd", vf3), ("einsum_bwd", vr)):
     outs = [fn(gw, gf, *args) for _ in range(10)]
     for o in outs:
         jax.block_until_ready(o)

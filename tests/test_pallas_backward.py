@@ -69,6 +69,26 @@ def test_pairs_backward_matches_einsum_vjp(nf):
             err_msg=f"cotangent mismatch for {name}")
 
 
+def test_pairs_backward_fast3_close_to_einsum_vjp():
+    """bwd_fast3 (bf16x3 backward matmuls, the precision='high' tier):
+    grads within ~1e-3 relative of the HIGHEST einsum VJP — the temp-100
+    softmax amplifies the 2^-18 logit error to ~4e-4 on P."""
+    args, (h, w) = _inputs(nf=1)
+    fused = functools.partial(transform_warp_pairs, h=h, w=w, temp=10.0,
+                              bwd_fast3=True)
+    ref = functools.partial(_pairs_ref, h=h, w=w, temp=10.0)
+    _, vjp_f = jax.vjp(fused, *args)
+    _, vjp_r = jax.vjp(ref, *args)
+    g, ns = args[0].shape[:2]
+    t, c = args[0].shape[2:]
+    gw = jnp.asarray(RNG.standard_normal((g, ns, 1, t, c)), jnp.float32)
+    gf = jnp.asarray(RNG.standard_normal((g, ns, 1, t, 2)), jnp.float32)
+    for gf_, gr_ in zip(vjp_f((gw, gf)), vjp_r((gw, gf))):
+        scale = max(1.0, float(jnp.max(jnp.abs(gr_))))
+        np.testing.assert_allclose(np.asarray(gf_), np.asarray(gr_),
+                                   atol=2e-3 * scale, rtol=2e-3)
+
+
 def test_pairs_grad_through_scalar_loss():
     """jax.grad through the fused op (both outputs used) vs the reference."""
     args, (h, w) = _inputs(g=1, ns=2, nf=1, h=8, w=8, c=32)

@@ -210,7 +210,10 @@ def tsnet_forward(
         src_img_fea.astype(jnp.float32), tar_fea_n, src_fea_n,
         tar_mask, src_mask, temp=cfg.softmax_temp,
         use_pallas=bool(use_pallas),
-        fast_warp=cfg.fast_tail)                       # (B,S,h,w,C), (B,S,h,w,2)
+        fast_warp=cfg.fast_tail,
+        # 3-pass backward for the 3-pass training tier; the bit-parity
+        # tier keeps the HIGHEST backward (see pallas_similarity)
+        bwd_fast3=cfg.precision != "highest")          # (B,S,h,w,C), (B,S,h,w,2)
 
     out: dict[str, Any] = {}
     if return_flow:

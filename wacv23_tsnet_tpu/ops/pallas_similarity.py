@@ -449,10 +449,10 @@ def _pairs_ref(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
             flow.reshape(g, ns, nf, t, 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
 def transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
                          grid, h: int, w: int, temp: float = 100.0,
-                         fast_warp: bool = False):
+                         fast_warp: bool = False, bwd_fast3: bool = False):
     """Grid-batched fused transformation branch over (group, src, tar) pairs.
 
     Args:
@@ -672,9 +672,10 @@ def transform_warp_pairs_mean(src_fea, tar_fea_n, src_fea_n, tar_mask,
 
 
 def _pairs_fwd(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
-               h, w, temp, fast_warp):
+               h, w, temp, fast_warp, bwd_fast3):
     out = transform_warp_pairs(src_fea, tar_fea_n, src_fea_n, tar_mask,
-                               src_mask, grid, h, w, temp, fast_warp)
+                               src_mask, grid, h, w, temp, fast_warp,
+                               bwd_fast3)
     return out, (src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid)
 
 
@@ -714,7 +715,7 @@ _TILE_BWD = 128
 def _pairs_bwd_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, gridt_ref,
                       fea_ref, gw_ref, gf_ref,
                       da_ref, gsn_ref, gtn_ref, gmt_ref, gms_ref, gg_ref,
-                      *, temp, h, w):
+                      *, temp, h, w, fast3):
     gi = pl.program_id(0)
     si = pl.program_id(1)
     fi = pl.program_id(2)
@@ -732,12 +733,31 @@ def _pairs_bwd_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, gridt_ref,
     gfx = gf_ref[0, 0, 0][:, 0:1].astype(jnp.float32)   # (TILE, 1)
     gfy = gf_ref[0, 0, 0][:, 1:2].astype(jnp.float32)
 
-    hi = jax.lax.Precision.HIGHEST
-
     def dot(x, y, dims):
-        return jax.lax.dot_general(x, y, dimension_numbers=(dims, ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=hi)
+        if not fast3:
+            return jax.lax.dot_general(
+                x, y, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        # fast3: hand-rolled bf16x3 (both operands hi/lo split; the
+        # dropped lo@lo term is O(2^-18) relative) — 3 single-pass MXU
+        # products instead of HIGHEST's 6, halving the backward's MXU
+        # cost. Enabled for the precision="high" training tier, whose
+        # whole conv trunk already runs 3-pass; the temp-100 softmax
+        # amplifies the logit error to ~4e-4 relative on P, i.e. grads
+        # within ~1e-3 of the HIGHEST einsum VJP — far tighter than the
+        # TF32-class matmuls the torch reference itself trained with.
+        # The bit-parity ("highest") tier keeps the exact branch above.
+        one = jax.lax.Precision.DEFAULT
+
+        def d(a_, b_):
+            return jax.lax.dot_general(
+                a_, b_, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32, precision=one)
+
+        x_hi, x_lo = _split_bf16(x)
+        y_hi, y_lo = _split_bf16(y)
+        return d(x_hi, y_hi) + (d(x_hi, y_lo) + d(x_lo, y_hi))
 
     # ---- forward recompute (identical ops/precision to _pair_kernel) ----
     logits = dot(tt, ss, ((1,), (1,)))             # (TILE, T)
@@ -805,11 +825,12 @@ def _pairs_bwd_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, gridt_ref,
 
 
 def _pairs_bwd_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
-                      grid_t, gw, gf_padded, temp, h, w):
+                      grid_t, gw, gf_padded, temp, h, w, fast3):
     g, ns, t, c = src_fea.shape
     nf = tar_fea_n.shape[1]
     tile_t = min(_TILE_BWD, t)
-    kernel = functools.partial(_pairs_bwd_kernel, temp=temp, h=h, w=w)
+    kernel = functools.partial(_pairs_bwd_kernel, temp=temp, h=h, w=w,
+                               fast3=fast3)
     return pl.pallas_call(
         kernel,
         out_shape=(
@@ -886,7 +907,7 @@ def _pairs_bwd_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
       gw, gf_padded)
 
 
-def _pairs_bwd(h, w, temp, fast_warp, residuals, g):
+def _pairs_bwd(h, w, temp, fast_warp, bwd_fast3, residuals, g):
     src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid = residuals
     gb, ns, t, c = src_fea.shape
     nf = tar_fea_n.shape[1]
@@ -905,7 +926,8 @@ def _pairs_bwd(h, w, temp, fast_warp, residuals, g):
         src_fea_n.astype(jnp.float32),
         tar_mask.astype(jnp.float32).reshape(gb, nf, t, 1),
         src_mask.astype(jnp.float32).reshape(gb, ns, 1, t),
-        grid_padded, grid_t, gw.astype(jnp.float32), gf_padded, temp, h, w)
+        grid_padded, grid_t, gw.astype(jnp.float32), gf_padded, temp, h, w,
+        bwd_fast3)
     return (da.astype(src_fea.dtype),
             jnp.sum(gtn_pairs, axis=1).astype(tar_fea_n.dtype),
             gsn.astype(src_fea_n.dtype),

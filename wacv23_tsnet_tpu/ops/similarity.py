@@ -194,6 +194,7 @@ def transformation_warp_sources(
     temp: float = 100.0,
     use_pallas: bool = True,
     fast_warp: bool = False,
+    bwd_fast3: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Transformation branch for ALL sources of a batch in one call.
 
@@ -201,6 +202,9 @@ def transformation_warp_sources(
     source axis flattened into the kernel grid (pallas_similarity.
     transform_warp_pairs) — no vmap over sources, no broadcast copies.
     `use_pallas=False` keeps the einsum + XLA-gather composition.
+    `bwd_fast3=True` runs the flash backward's matmuls as bf16x3
+    (grads within ~1e-3 of the HIGHEST einsum VJP, half the MXU cost —
+    the precision="high" training tier).
 
     Returns (warped (B, S, h, w, C), flow (B, S, h, w, 2)).
     """
@@ -212,7 +216,7 @@ def transformation_warp_sources(
 
         def call(sf, tf, sn, tm, sm):
             return transform_warp_pairs(sf, tf, sn, tm, sm, grid, h, w,
-                                        temp, fast_warp)
+                                        temp, fast_warp, bwd_fast3)
 
         ctx = _BATCH_MESH.get()
         if ctx is not None:

@@ -22,6 +22,10 @@ class Logger:
     def write(self, message):
         self.terminal.write(message)
         self.log.write(message)
+        if "\n" in message:
+            # training prints are minutes apart; an unflushed logfile
+            # makes a long run look hung from outside
+            self.log.flush()
 
     def flush(self):
         self.terminal.flush()
