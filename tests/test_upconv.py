@@ -80,6 +80,14 @@ def test_decoder_apply_fast_matches_module(dtype):
                                np.asarray(want_img, np.float32), atol=tol)
     np.testing.assert_allclose(np.asarray(got_fea, np.float32),
                                np.asarray(want_fea, np.float32), atol=tol)
+    if dtype == "bfloat16":
+        # bf16 tier again with the fused Pallas resblocks (interpret)
+        got_img2, _ = decoder_apply_fast(dec, params, prop, syn,
+                                         return_fea=True,
+                                         use_pallas_blocks=True)
+        np.testing.assert_allclose(np.asarray(got_img2, np.float32),
+                                   np.asarray(want_img, np.float32),
+                                   atol=tol)
 
 
 def test_conv7x7_phase_exact():

@@ -348,7 +348,8 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
 
     from ..nn.decoder import decoder_apply_fast
     rec_img, _ = decoder_apply_fast(mods.dec, params["dec"], prop_fea,
-                                    syn_fea, return_fea=False)
+                                    syn_fea, return_fea=False,
+                                    use_pallas_blocks=bool(use_pallas))
     rec_img = rec_img.astype(jnp.float32)
     if cfg.use_fg_mask:
         rec_img = composite_foreground(rec_img, cfg)

@@ -62,7 +62,8 @@ _PREC = {
 
 
 def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
-                       syn_fea: jnp.ndarray, return_fea: bool = True):
+                       syn_fea: jnp.ndarray, return_fea: bool = True,
+                       use_pallas_blocks: bool = False):
     """`Decoder.__call__` with the upsample stages phase-decomposed.
 
     Identical math and param tree; each [bilinear-2x, reflect-pad, 3x3
@@ -96,10 +97,38 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
     # XLA path keeps this function safe under the parallel.spmd mesh.
     x = jnp.concatenate([prop_fea, syn_fea], axis=-1).astype(dt)
     x = conv(x, params["map_conv"])
-    for j in range(dec.n_blocks):
-        blk = params[f"block{j}"]
-        h = nn.relu(instance_norm(conv(x, blk["conv1"], pad=1)))
-        x = x + instance_norm(conv(h, blk["conv2"], pad=1))
+    if use_pallas_blocks and dt == jnp.bfloat16:
+        # fused per-frame [pad+conv+IN+relu / +skip] kernel
+        # (ops.pallas_conv): bf16 fast-tail inference only — no VJP,
+        # and the single-pass dots match this tier's precision. Wrapped
+        # in shard_map over the batch axis under a parallel.spmd mesh
+        # (a pallas_call is opaque to GSPMD), like the transformation
+        # kernel in ops/similarity.
+        from ..ops.pallas_conv import resblock_fused
+        from ..ops.similarity import _BATCH_MESH
+
+        def run_blocks(xb):
+            for j in range(dec.n_blocks):
+                blk = params[f"block{j}"]
+                xb = resblock_fused(xb, jnp.asarray(blk["conv1"]["kernel"],
+                                                    dt),
+                                    jnp.asarray(blk["conv2"]["kernel"], dt))
+            return xb
+
+        ctx = _BATCH_MESH.get()
+        if ctx is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = ctx
+            run_blocks = shard_map(run_blocks, mesh=mesh,
+                                   in_specs=(P(axis),),
+                                   out_specs=P(axis), check_rep=False)
+        x = run_blocks(x)
+    else:
+        for j in range(dec.n_blocks):
+            blk = params[f"block{j}"]
+            h = nn.relu(instance_norm(conv(x, blk["conv1"], pad=1)))
+            x = x + instance_norm(conv(h, blk["conv2"], pad=1))
     # up stages: fused conv+ring+IN+relu; the conv bias is dropped (a
     # per-channel constant cancels exactly in the instance norm)
     for i in range(dec.n_downsampling - 1):
@@ -108,9 +137,11 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
     up = params[f"up{dec.n_downsampling - 1}"]
     x = upconv_in_relu(x, jnp.asarray(up["kernel"], dt), precision=prec,
                        phase_out=True)
-    # (a 16-phase/quarter-res tail was measured: its conv is 5 ms/clip
-    # faster but the extra space-to-depth relayout costs 6-7 — the
-    # 4-phase layout up2 already emits is the right operating point)
+    # (a 16-phase/quarter-res tail was measured TWICE as a net loss:
+    # round 2 via general space-to-depth, round 3 via strided-row
+    # pad-add relayout — 34.5 vs 18.8 ms/clip standalone; the wider MXU
+    # lanes never pay for the relayouts + ring recompute. 4-phase is
+    # the operating point.)
     out = conv7x7_phase(x, jnp.asarray(params["conv_out"]["kernel"], dt),
                         jnp.asarray(params["conv_out"]["bias"], dt),
                         precision=prec)

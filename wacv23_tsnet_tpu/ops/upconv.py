@@ -92,6 +92,113 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, 2 * h, 2 * w, c)
 
 
+# Border tap matrices: coefficient of (x[0], x[1]) in the three upsample
+# taps a VALID 3-tap conv reads for output rows 0 (phase p=0) and 1
+# (p=1) at the CLAMPED + reflect-padded top edge:
+#   u[0] = x[0] (clamp), u[1] = .75 x0 + .25 x1, u[2] = .25 x0 + .75 x1,
+#   pad row u[-1] = u[1] (reflect).
+# _T_EDGE[p, k, a] = weight of x[a] in the k-th tap for output row p.
+# The bottom edge is the exact mirror: taps reversed, (x0, x1) ->
+# (x[H-1], x[H-2]).
+_T_EDGE = jnp.asarray(
+    [
+        [[0.75, 0.25], [1.0, 0.0], [0.75, 0.25]],   # row 0: u1, u0, u1
+        [[1.0, 0.0], [0.75, 0.25], [0.25, 0.75]],   # row 1: u0, u1, u2
+    ],
+    jnp.float32,
+)
+# mirror: _T_EDGE reversed in taps and in (x0, x1), expressed directly
+# against (x[H-2], x[H-1]) for outputs (2H-2, 2H-1)
+_T_EDGE_BOT = jnp.asarray(
+    [
+        [[0.75, 0.25], [0.25, 0.75], [0.0, 1.0]],   # row 2H-2
+        [[0.25, 0.75], [0.0, 1.0], [0.25, 0.75]],   # row 2H-1
+    ],
+    jnp.float32,
+)
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _ring_kernels(kernel: jnp.ndarray):
+    """Derived kernels for the exact border ring of
+    [upsample2x -> reflect_pad(1) -> conv3x3].
+
+    The 2-pixel output border is linear in the first/last TWO input
+    rows/cols (clamped upsample taps + reflect padding never reach
+    further), so each border strip collapses to a small conv kernel and
+    each corner to a (2, 2, Ci, 4Co) contraction. All derivations run at
+    trace time in fp32/HIGHEST (see `phase_kernel`).
+
+    Returns (k_top, k_bot, k_left, k_right, corners) where
+      k_top/k_bot:    (2, 3, Ci, 4Co) — row taps over x[{:2,-2:}],
+                      col taps standard W1D, output 1 phase row
+      k_left/k_right: (3, 2, Ci, 4Co) — col taps over x[:, {:2,-2:}]
+      corners:        dict {(vs, hs): (2, 2, Ci, 4Co)} for
+                      vs, hs in {0 (near edge), 1 (far edge)}.
+    Channel layout matches `phase_kernel`: ((py*2+px)*Co + o).
+    """
+    k = kernel.astype(jnp.float32)
+    w = _W1D
+    kh, kw, ci, co = kernel.shape
+
+    def strip_rows(t_edge):
+        # K[a, d, i, p, q, o] = sum_{ky,kx} T[p,ky,a] W[q,kx,d] k[ky,kx,i,o]
+        kk = jnp.einsum("pka,qxd,kxio->adipqo", t_edge, w, k, precision=_HI)
+        return kk.reshape(2, 3, ci, 4 * co)
+
+    def strip_cols(t_edge):
+        kk = jnp.einsum("pkd,qxa,kxio->daipqo", w, t_edge, k, precision=_HI)
+        return kk.reshape(3, 2, ci, 4 * co)
+
+    corners = {}
+    for vs, tv in ((0, _T_EDGE), (1, _T_EDGE_BOT)):
+        for hs, th in ((0, _T_EDGE), (1, _T_EDGE_BOT)):
+            cc = jnp.einsum("pka,qxb,kxio->abipqo", tv, th, k,
+                            precision=_HI)
+            corners[(vs, hs)] = cc.reshape(2, 2, ci, 4 * co)
+    return (strip_rows(_T_EDGE), strip_rows(_T_EDGE_BOT),
+            strip_cols(_T_EDGE), strip_cols(_T_EDGE_BOT), corners)
+
+
+def _ring_phase(x: jnp.ndarray, kernel: jnp.ndarray, prec):
+    """Exact border ring in phase layout, via the closed-form border
+    kernels (no upsampled slabs, no relayout transposes).
+
+    Returns (top, bot, left, right): top/bot (B, 1, W, 4Co) — border
+    phase-COLS 0 and W-1 are zero-padded don't-cares (the left/right
+    strips own them, including corners); left/right (B, H, 1, 4Co).
+    """
+    kt, kb, kl, kr, kc = _ring_kernels(kernel)
+    dt_ = x.dtype
+    cast = lambda a: a.astype(dt_)
+
+    def c2(xs, kk):
+        return _conv(xs, cast(kk), prec)
+
+    top = c2(x[:, :2], kt)                       # (B, 1, W-2, 4Co)
+    bot = c2(x[:, -2:], kb)
+    left = c2(x[:, :, :2], kl)                   # (B, H-2, 1, 4Co)
+    right = c2(x[:, :, -2:], kr)
+
+    def corner(xs, kk):
+        # (B, 2, 2, Ci) x (2, 2, Ci, 4Co) -> (B, 1, 1, 4Co)
+        return jnp.einsum("nabi,abio->no", xs, cast(kk),
+                          precision=prec)[:, None, None, :]
+
+    tl = corner(x[:, :2, :2], kc[(0, 0)])
+    tr = corner(x[:, :2, -2:], kc[(0, 1)])
+    bl = corner(x[:, -2:, :2], kc[(1, 0)])
+    br = corner(x[:, -2:, -2:], kc[(1, 1)])
+
+    pad_w = ((0, 0), (0, 0), (1, 1), (0, 0))
+    top = jnp.pad(top, pad_w)
+    bot = jnp.pad(bot, pad_w)
+    left = jnp.concatenate([tl, left, bl], axis=1)
+    right = jnp.concatenate([tr, right, br], axis=1)
+    return top, bot, left, right
+
+
 def _to_phase_rows(y: jnp.ndarray) -> jnp.ndarray:
     """(B, 2, 2W, C) interleaved rows -> (B, 1, W, 4C) phase layout."""
     b, _, w2, c = y.shape
@@ -137,21 +244,18 @@ def upsample2x_reflect_conv3(x: jnp.ndarray, kernel: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=prec)                              # (B, H, W, 4Co) phase
 
-    # exact 2-pixel border ring: the reference composition on 3-wide
-    # slabs (their first 4 upsampled rows/cols are unclamped, so the
-    # first 2 output rows/cols are exact; same mirrored at the far
-    # edge). 2 interleaved rows == 1 phase row. How the ring lands is
-    # chosen by measurement at clip scale (the chip's ~280 GB/s
-    # effective HBM makes every full-tensor pass count): when the
-    # result is immediately interleaved (depth_to_space), two concats
-    # beat the four chained dynamic-update-slices (which XLA lowers as
-    # full copies) by ~2.6 ms/stage; when the result stays in phase
+    # exact 2-pixel border ring via closed-form border kernels
+    # (`_ring_kernels`): each strip is a thin 2-tap conv on the edge
+    # rows/cols of x — no upsampled slabs, no relayout transposes
+    # (the former slab composition measured ~6 ms/stage at clip scale).
+    # How the ring lands is chosen by measurement (the chip's
+    # ~280 GB/s effective HBM makes every full-tensor pass count):
+    # when the result is immediately interleaved (depth_to_space), two
+    # concats beat four chained dynamic-update-slices (full copies
+    # under XLA) by ~2.6 ms/stage; when the result stays in phase
     # layout feeding instance_norm_phase, the DUS form fuses better
     # with the downstream reduction and wins by ~7 ms.
-    top = _to_phase_rows(_reference(x[:, :3], kernel, prec)[:, :2])
-    bot = _to_phase_rows(_reference(x[:, -3:], kernel, prec)[:, -2:])
-    left = _to_phase_cols(_reference(x[:, :, :3], kernel, prec)[:, :, :2])
-    right = _to_phase_cols(_reference(x[:, :, -3:], kernel, prec)[:, :, -2:])
+    top, bot, left, right = _ring_phase(x, kernel, prec)
     if phase_out:
         y = y.at[:, :1].set(top)
         y = y.at[:, -1:].set(bot)
@@ -193,13 +297,9 @@ def upconv_in_relu(x: jnp.ndarray, kernel: jnp.ndarray,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=prec)                              # (B, H, W, 4Co) phase
 
-    # four separate slab convs: batching top/bot (left/right) into one
-    # conv via batch-axis concat was measured SLOWER (+6 ms/clip — the
-    # concat copies outweigh the saved dispatches)
-    top = _to_phase_rows(_reference(x[:, :3], kernel, prec)[:, :2])
-    bot = _to_phase_rows(_reference(x[:, -3:], kernel, prec)[:, -2:])
-    left = _to_phase_cols(_reference(x[:, :, :3], kernel, prec)[:, :, :2])
-    right = _to_phase_cols(_reference(x[:, :, -3:], kernel, prec)[:, :, -2:])
+    # closed-form border ring (see `_ring_kernels`); top/bot border
+    # phase-cols are zero don't-cares owned by left/right below
+    top, bot, left, right = _ring_phase(x, kernel, prec)
 
     # IN statistics over the assembled tensor, from its disjoint pieces:
     # interior = bulk[1:-1, 1:-1]; row 0 / H-1 cols 1..W-2 from top/bot;
