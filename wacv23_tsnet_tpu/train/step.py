@@ -173,4 +173,47 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
         metrics = {**d_metrics, **g_metrics}
         return new_state, metrics, rec
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+    # XLA:TPU workaround: on this stack, certain train-step graph
+    # variants (the CLI trainer's uint8-wire step at bs=15; any step
+    # with lambda_vgg=0) CHECK-crash the compiler in
+    # SpaceToBatchConverter::PropagateOnBackpropFilterConv
+    # ("halo_size - low_padding <= spatial_split_size (30 vs. 5)",
+    # space_to_batch_converter.cc:543 — the remote compile helper dies
+    # with SIGABRT). Env vars (LIBTPU_INIT_ARGS/XLA_FLAGS) do NOT reach
+    # the remote helper; per-compile `compiler_options` travel with the
+    # request, so on that specific failure we AOT-recompile the same
+    # lowering with the pass disabled and cache the executable per
+    # input signature. Training loops have fixed shapes, so the cache
+    # holds one entry in practice.
+    compiled_cache: dict = {}
+
+    def _sig(*args):
+        return tuple((tuple(l.shape), str(l.dtype))
+                     for l in jax.tree.leaves(args))
+
+    def step_call(state, batch, lr):
+        if compiled_cache:
+            hit = compiled_cache.get(_sig(state, batch, lr))
+            if hit is not None:
+                return hit(state, batch, lr)
+        try:
+            return jitted(state, batch, lr)
+        except jax.errors.JaxRuntimeError as e:   # pragma: no cover
+            msg = str(e)
+            if "SIGABRT" not in msg and "space_to_batch" not in msg:
+                raise
+            # xla_disable_hlo_passes is a DebugOptions field, so it is
+            # serialized INTO the compile request (the libtpu absl flag
+            # xla_tpu_run_space_to_batch is not — setting it only
+            # affects the local process, which isn't where the remote
+            # helper crashes)
+            compiled = jitted.lower(state, batch, lr).compile(
+                compiler_options={
+                    "xla_disable_hlo_passes": "space-to-batch-converter"})
+            compiled_cache[_sig(state, batch, lr)] = compiled
+            return compiled(state, batch, lr)
+
+    step_call.lower = jitted.lower        # bench/profiling cost analysis
+    return step_call
