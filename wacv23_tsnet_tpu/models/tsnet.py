@@ -283,8 +283,9 @@ def encode_sources(mods: TSNetModules, params: dict, src_img: jnp.ndarray,
     """Encode the S reference frames once; returns the device-resident
     source pack reused by every subsequent driving frame."""
     dt = mods.dtype
+    from ..nn.encoder import encoder_apply_fast
     enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
-    src_fea = mods.img_enc.apply({"params": params["img_enc"]}, enc_in)
+    src_fea = encoder_apply_fast(mods.img_enc, params["img_enc"], enc_in)
     h, w = src_fea.shape[1:3]
     return {
         "fea": src_fea,
@@ -304,7 +305,10 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
     src_fea_n = src_pack["fea_n"]
     src_mask = src_pack["mask"]
 
-    tar_fea = mods.lbl_enc.apply({"params": params["lbl_enc"]},
+    # folded-stem fast path (exact; pure XLA, GSPMD-safe): the 7x7 stem
+    # reads 5 input channels -> 5/128 MXU lanes; the fold packs it to 80
+    from ..nn.encoder import encoder_apply_fast
+    tar_fea = encoder_apply_fast(mods.lbl_enc, params["lbl_enc"],
                                  tar_lbl.astype(dt))        # (F, h, w, C)
     h, w = tar_fea.shape[1:3]
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
