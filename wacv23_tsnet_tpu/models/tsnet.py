@@ -190,12 +190,26 @@ def tsnet_forward(
     dt = mods.dtype
 
     # --- encoders ------------------------------------------------------
+    # folded-stem fast path (exact, differentiable; nn.encoder): the 7x7
+    # stem reads 5-8 input channels -> <=8/128 MXU lanes unfolded. Also
+    # keeps the stem's filter-gradient conv out of XLA's space-to-batch
+    # converter (the CHECK-crash worked around in train/step.py)
+    from ..nn.encoder import encoder_apply_fast
+
+    def run_img_enc(x):
+        return encoder_apply_fast(mods.img_enc, params["img_enc"], x)
+
+    def run_lbl_enc(x):
+        return encoder_apply_fast(mods.lbl_enc, params["lbl_enc"], x)
+
+    if cfg.remat:
+        # the fast path bypasses the fnn.remat module wrappers; keep the
+        # same activation-rematerialization contract here
+        run_img_enc = jax.checkpoint(run_img_enc)
+        run_lbl_enc = jax.checkpoint(run_lbl_enc)
     enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
-    src_img_fea = jax.vmap(
-        lambda x: mods.img_enc.apply({"params": params["img_enc"]}, x),
-        in_axes=1, out_axes=1)(enc_in)                 # (B, S, h, w, C)
-    tar_lbl_fea = mods.lbl_enc.apply({"params": params["lbl_enc"]},
-                                     tar_lbl.astype(dt))  # (B, h, w, C)
+    src_img_fea = jax.vmap(run_img_enc, in_axes=1, out_axes=1)(enc_in)
+    tar_lbl_fea = run_lbl_enc(tar_lbl.astype(dt))      # (B, h, w, C)
     h, w = tar_lbl_fea.shape[1:3]
 
     # --- transformation branch ----------------------------------------
