@@ -151,6 +151,30 @@ def test_dp_clip_inference_pallas_shardmap_matches_single_device():
                                atol=5e-5)
 
 
+def test_dp_clip_inference_fast_tail_kernels_shardmap():
+    """The bf16 fast-tail kernel set (fused pair block, Pallas decoder
+    resblocks) under SPMD: frames shard over `data`, the kernels run per
+    shard via shard_map (interpret mode on this backend)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(toy_config(), fast_tail=True)
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(2))
+    args = _clip_args(cfg)
+
+    want = jax.jit(
+        lambda p, *a: tsnet_forward_clip(mods, p, *a, use_pallas=True)
+    )(params, *args)
+
+    mesh = make_mesh(8, model_parallel=1)
+    run = make_parallel_clip_infer(mods, mesh, use_pallas=True)
+    got = run(params, *args)
+    # bf16 tail: shard boundaries change nothing (per-frame kernels),
+    # only XLA reduction order in the trunk differs
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32), atol=5e-3)
+
+
 def test_dp_train_step_pallas_shardmap_matches_single_device():
     """One DP GAN step with the fused kernel under shard_map equals the
     single-device step (same params, same batch)."""

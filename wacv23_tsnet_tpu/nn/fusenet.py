@@ -95,14 +95,36 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
 
     c1a = conv(a, k1[:, :, :c, :], pad=1)              # (S, h, w, 2C)
     c1t = conv(t, k1[:, :, c:, :], pad=1) + b1         # (F, h, w, 2C)
-    hp = (c1a[:, None] + c1t[None]).reshape(s * f, h, w, 2 * c)
-    hp = nn.relu(instance_norm(hp))
     # conv2's bias b2 is dropped: a per-channel constant cancels exactly
     # in the instance norm that immediately follows. The IN + mean over
     # sources run as ONE fused Pallas pass (the XLA lowering reads the
     # (S*F, ...) tensor twice; measured 12.4 -> ~4 ms/clip).
     del b2
-    h2 = conv(hp, k2, pad=1).reshape(s, f, h, w, 2 * c)
+    if use_pallas and dtype == jnp.bfloat16:
+        # fused [pair-sum + IN + relu + conv2] kernel: the 805 MB
+        # (S*F, h, w, 2C) hp tensor never reaches HBM and conv2 runs as
+        # row-contiguous MXU dots (ops.pallas_fuse). Wrapped in
+        # shard_map over the frame axis under a parallel.spmd mesh.
+        from ..ops.pallas_fuse import fuse_pair_conv2
+        from ..ops.similarity import _BATCH_MESH
+
+        def pair_conv(aa, tt):
+            return fuse_pair_conv2(aa, tt, k2)
+
+        ctx = _BATCH_MESH.get()
+        if ctx is not None:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            mesh, axis = ctx
+            pair_conv = shard_map(pair_conv, mesh=mesh,
+                                  in_specs=(P(None), P(axis)),
+                                  out_specs=P(None, axis),
+                                  check_rep=False)
+        h2 = pair_conv(c1a, c1t)
+    else:
+        hp = (c1a[:, None] + c1t[None]).reshape(s * f, h, w, 2 * c)
+        hp = nn.relu(instance_norm(hp))
+        h2 = conv(hp, k2, pad=1).reshape(s, f, h, w, 2 * c)
     h2m = _in_mean(h2, use_pallas).astype(dtype)       # (F, h, w, 2C)
     a_mean = jnp.mean(a.astype(jnp.float32), axis=0).astype(dtype)
     x_mean = jnp.concatenate(
