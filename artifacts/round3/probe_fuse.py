@@ -78,6 +78,31 @@ bench("pair-sum -> IN -> relu (XLA, fused)", lambda aa, tt: jax.nn.relu(
                    conv(tt, k1[:, :, C:], pad=1)[None])
                   .reshape(S * F, H, W, 2 * C))), a, t)
 bench("conv2 alone on hp (XLA conv)", lambda x: conv(x, k2, pad=1), hp)
+
+
+def conv2_nchw(x):
+    xn = jnp.transpose(x, (0, 3, 1, 2))
+    kn = jnp.transpose(k2, (3, 2, 0, 1))
+    y = jax.lax.conv_general_dilated(
+        jnp.pad(xn, ((0, 0), (0, 0), (1, 1), (1, 1))), kn, (1, 1),
+        "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=PREC)
+    return jnp.transpose(y, (0, 2, 3, 1))
+
+
+bench("conv2 via NCHW layout", conv2_nchw, hp)
+bench("conv2 zero-pad SAME (no reflect)", lambda x: jax.lax.conv_general_dilated(
+    x, k2, (1, 1), "SAME",
+    dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=PREC), hp)
+
+from wacv23_tsnet_tpu.ops.pallas_fuse import fuse_pair_conv2
+
+c1a_p = jnp.asarray(rng.standard_normal((S, H, W, 2 * C)), DT)
+c1t_p = jnp.asarray(rng.standard_normal((F, H, W, 2 * C)), DT)
+for ct in (128, 256):
+    bench(f"fused pair kernel (pallas, co_tile={ct})",
+          lambda a_, t_, c=ct: fuse_pair_conv2(a_, t_, k2, co_tile=c),
+          c1a_p, c1t_p)
 bench("in_mean pallas on h2", lambda x: instance_norm_mean(x), h2)
 bench("final 1x1 conv (F frames)",
       lambda tt: conv(jnp.concatenate([tt, tt], -1), km), t)

@@ -94,13 +94,20 @@ def measure_ours() -> float:
     log(f"[bench] ours: {dt * 1e3:.1f} ms / {CLIP_FRAMES} frames "
         f"= {fps:.2f} frames/sec/chip")
 
-    # XLA's own cost model for the compiled clip graph -> FLOPs/frame and
-    # MFU against the v5e bf16 peak (197 TFLOP/s). Logical FLOPs: the
-    # fp32-HIGHEST similarity matmuls physically run more MXU passes than
-    # counted here, so true utilization is higher than this number.
+    # XLA's own cost model -> FLOPs/frame and MFU against the v5e bf16
+    # peak (197 TFLOP/s). Counted on the use_pallas=False lowering: a
+    # pallas_call is OPAQUE to cost_analysis, so the kernel-path graph
+    # under-counts by every fused kernel's matmuls (transformation,
+    # fuse pair block, decoder resblocks — ~100 GFLOP/frame by round 3);
+    # the einsum/XLA composition is the same math with every op visible.
+    # (Compile-only: nothing from this lowering executes.) Logical
+    # FLOPs: the fp32-HIGHEST similarity matmuls physically run more MXU
+    # passes than counted here, so true utilization is higher still.
     flops_per_frame = None
     try:
-        cost = jax.jit(lambda p, *a: fwd(p, *a)).lower(*args).compile(
+        fwd_ref = functools.partial(tsnet_forward_clip, mods,
+                                    use_pallas=False)
+        cost = jax.jit(lambda p, *a: fwd_ref(p, *a)).lower(*args).compile(
         ).cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
@@ -164,14 +171,17 @@ def measure_train_step() -> float:
     ms = (time.perf_counter() - t0) / iters * 1000
     log(f"[bench] train: {ms:.0f} ms/step (bs=15, 256^2, single-forward)")
 
-    # XLA cost model of the whole compiled D+G step -> train-side MFU
-    # (logical FLOPs; the fp32 similarity matmuls run extra MXU passes,
-    # so true utilization is higher)
+    # XLA cost model of the whole compiled D+G step -> train-side MFU.
+    # Counted on the use_pallas=False lowering (compile-only): the
+    # transformation branch's Pallas forward + flash backward are opaque
+    # to cost_analysis, so the kernel-path graph under-counts their
+    # matmuls. Logical FLOPs; the 3-pass "high" tier runs extra MXU
+    # passes, so true utilization is higher.
     tflops = None
     try:
-        # .lower only reads avals (donated buffers are fine) and the
-        # compile hits the executable cache from the timed steps above
-        cost = step.lower(
+        # .lower only reads avals (donated buffers are fine)
+        step_ref = make_train_step(mods, use_pallas=False, donate=False)
+        cost = step_ref.lower(
             state, batch, jnp.float32(2e-4)).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -180,8 +180,9 @@ def main() -> None:
             params, src_img, src_lbl, src_bbox)
     dt = mods.dtype
 
-    run_lbl = lambda p_, x, eps: mods.lbl_enc.apply(
-        {"params": p_["lbl_enc"]}, x.astype(dt) + eps)
+    from ..nn.encoder import encoder_apply_fast
+    run_lbl = lambda p_, x, eps: encoder_apply_fast(
+        mods.lbl_enc, p_["lbl_enc"], x.astype(dt) + eps)
     tar_fea = jax.jit(lambda p_, x: run_lbl(p_, x, 0.0))(params, tar_lbl)
     h, w = tar_fea.shape[1:3]
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
@@ -221,7 +222,8 @@ def main() -> None:
     total += timed("decoder (fast)",
                    lambda p_, pf, sf, eps: decoder_apply_fast(
                        mods.dec, p_["dec"], pf + eps.astype(pf.dtype), sf,
-                       return_fea=False)[0],
+                       return_fea=False,
+                       use_pallas_blocks=dec_dt == jnp.bfloat16)[0],
                    (params, prop_fea, syn_fea))
     print(f"  {'SUM of stages':<28s} {total:8.1f} ms/clip "
           f"({f / total * 1e3:.1f} fps equivalent)")

@@ -118,11 +118,11 @@ def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
     out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
 
     # statistics are per channel, so the channel axis tiles freely into
-    # the grid — the full-plane block with its fp32 temporaries and
-    # double buffering exceeds the 16 MB scoped VMEM at the fuse shape
-    # (measured 19.8 MB for (1024, 1024) bf16 blocks)
+    # the grid; full-plane (1024, 1024) blocks need the raised scoped
+    # VMEM limit below (the 16 MB default measured a 19.8 MB demand),
+    # and quarter the grid-step count vs the former 256-channel tiles
     cc = c
-    while cc > 256 and cc % 2 == 0:
+    while cc > 1024 and cc % 2 == 0:
         cc //= 2
 
     def call(xs):
@@ -139,6 +139,8 @@ def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
                 (1, n, cc), lambda fi, ci, si: (fi, 0, ci),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((n, cc), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=_interpret(),
         )(xr).reshape(nf, h, w, c)
 
