@@ -1,0 +1,134 @@
+"""VERDICT r3 item 6: prove the flash kernel's scaling claim.
+
+The fused transformation branch exists because the attention grows
+quadratically once the feature grid exceeds 32^2 (SURVEY.md §5; the
+reference's own comment model/TSNet.py:343-346). At n_downsampling=2
+the 256^2 input gives 64^2 features -> 4096x4096 attention per
+(source, frame) pair: the einsum path materializes ~64 MB fp32 logits
+per pair in HBM (x3 sources x frames in flight), while the Pallas
+kernels keep each tile's logits in VMEM (flash-style, fwd and bwd).
+
+Measures, on the real chip at n_downsampling=2:
+  - clip inference (F frames, n_source=3): Pallas vs einsum ms/clip
+  - one bs=2 train step: Pallas (flash bwd) vs einsum VJP ms/step
+and records HBM-failure modes if the einsum path cannot run.
+"""
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+from wacv23_tsnet_tpu.configs import face_config
+from wacv23_tsnet_tpu.models import TSNetModules
+from wacv23_tsnet_tpu.models.tsnet import tsnet_forward_clip
+
+N_SOURCE, SIZE, LABEL_NC, FRAMES = 3, 256, 2, 32
+
+results = {}
+
+cfg = dataclasses.replace(face_config(), precision="high", fast_tail=True,
+                          n_downsampling=2)
+mods = TSNetModules(cfg)
+print(f"devices={jax.devices()} feat {cfg.feat_size}^2 x {cfg.feat_ch}ch "
+      f"-> attention {cfg.feat_size**2}x{cfg.feat_size**2}", flush=True)
+params = mods.init_generator_params(jax.random.PRNGKey(0))
+rng = np.random.default_rng(0)
+args = (
+    params,
+    jnp.asarray(rng.random((N_SOURCE, SIZE, SIZE, 3), np.float32)),
+    jnp.asarray(rng.integers(0, 2, (N_SOURCE, SIZE, SIZE, LABEL_NC)).astype(np.float32)),
+    jnp.asarray(rng.integers(0, 2, (N_SOURCE, SIZE, SIZE)).astype(np.float32)),
+    jnp.asarray(rng.integers(0, 2, (FRAMES, SIZE, SIZE, LABEL_NC)).astype(np.float32)),
+    jnp.asarray(rng.integers(0, 2, (FRAMES, SIZE, SIZE)).astype(np.float32)),
+)
+
+
+def time_clip(tag, use_pallas):
+    fwd = functools.partial(tsnet_forward_clip, mods, use_pallas=use_pallas)
+    fn = jax.jit(lambda p, *a: jnp.sum(jnp.abs(fwd(p, *a))))
+    try:
+        t0 = time.perf_counter()
+        checksum = float(fn(*args))
+        print(f"[clip/{tag}] compile+first: {time.perf_counter() - t0:.1f}s "
+              f"(checksum {checksum:.1f})", flush=True)
+        iters = 3
+        t0 = time.perf_counter()
+        sums = [fn(*args) for _ in range(iters)]
+        for s_ in sums:
+            float(s_)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        fps = FRAMES / (ms / 1e3)
+        print(f"[clip/{tag}] {ms:.1f} ms / {FRAMES} frames = {fps:.1f} fps",
+              flush=True)
+        results[f"clip_{tag}"] = {"ms_per_clip": round(ms, 1),
+                                  "frames": FRAMES, "fps": round(fps, 1)}
+    except Exception as e:                                # noqa: BLE001
+        msg = str(e).split("\n")[0][:300]
+        print(f"[clip/{tag}] FAILED: {msg}", flush=True)
+        results[f"clip_{tag}"] = {"error": msg}
+
+
+time_clip("pallas", True)
+time_clip("einsum", False)
+
+
+def time_train(tag, use_pallas):
+    import warnings
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    vgg = jax.tree.map(lambda x: jnp.array(np.asarray(x)), vgg)
+    state = create_train_state(mods, jax.random.PRNGKey(0), vgg_params=vgg)
+    bs = 2
+    batch = {k: jnp.asarray(v) for k, v in {
+        "src_img": rng.random((bs, N_SOURCE, SIZE, SIZE, 3), np.float32),
+        "src_lbl": rng.integers(0, 2, (bs, N_SOURCE, SIZE, SIZE, LABEL_NC)).astype(np.float32),
+        "src_bbox": rng.integers(0, 2, (bs, N_SOURCE, SIZE, SIZE)).astype(np.float32),
+        "tar_img": rng.random((bs, SIZE, SIZE, 3), np.float32),
+        "tar_lbl": rng.integers(0, 2, (bs, SIZE, SIZE, LABEL_NC)).astype(np.float32),
+        "tar_bbox": rng.integers(0, 2, (bs, SIZE, SIZE)).astype(np.float32),
+    }.items()}
+    step = make_train_step(mods, donate=True, use_pallas=use_pallas)
+    try:
+        t0 = time.perf_counter()
+        state, _, r = step(state, batch, jnp.float32(2e-4))
+        float(jnp.sum(r))
+        print(f"[train/{tag}] compile+first: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        iters = 3
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, _, r = step(state, batch, jnp.float32(2e-4))
+        float(jnp.sum(r))
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"[train/{tag}] {ms:.0f} ms/step (bs={bs})", flush=True)
+        results[f"train_{tag}"] = {"ms_per_step": round(ms, 1), "bs": bs}
+    except Exception as e:                                # noqa: BLE001
+        msg = str(e).split("\n")[0][:300]
+        print(f"[train/{tag}] FAILED: {msg}", flush=True)
+        results[f"train_{tag}"] = {"error": msg}
+
+
+time_train("pallas_flash", True)
+time_train("einsum_vjp", False)
+
+results["config"] = {"n_downsampling": 2, "feat_size": cfg.feat_size,
+                     "feat_ch": cfg.feat_ch,
+                     "attention": f"{cfg.feat_size**2}x{cfg.feat_size**2}",
+                     "logits_fp32_per_pair_mb": round(
+                         cfg.feat_size ** 4 * 4 / 2 ** 20, 1)}
+with open("/root/repo/artifacts/round4/scaling_nd2.json", "w") as f:
+    json.dump(results, f, indent=2)
+print(json.dumps(results), flush=True)

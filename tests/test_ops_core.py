@@ -225,48 +225,6 @@ def test_pallas_fused_flow_matches_einsum_path():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
-def test_pallas_transform_warp_fused_matches_composite():
-    """The one-kernel branch == einsum flow + zeros-padded grid_sample."""
-    import jax
-    from wacv23_tsnet_tpu.ops.pallas_similarity import transform_warp_fused
-
-    b, h, w, c = 2, 16, 16, 32
-    n = h * w
-    fea = RNG.standard_normal((b, n, c)).astype(np.float32)
-    t_n = np.asarray(ops.l2_normalize(
-        jnp.asarray(RNG.standard_normal((b, n, c), dtype=np.float32))))
-    s_n = np.asarray(ops.l2_normalize(jnp.asarray(fea)))
-    mt = (RNG.random((b, n)) > 0.5).astype(np.float32)
-    ms = (RNG.random((b, n)) > 0.5).astype(np.float32)
-    grid = np.asarray(ops.normalized_grid(h, w)).reshape(n, 2)
-
-    flow_ref = ops.masked_attention_flow(
-        jnp.asarray(t_n), jnp.asarray(s_n), jnp.asarray(mt), jnp.asarray(ms),
-        jnp.asarray(grid), temp=100.0)
-    warped_ref = ops.grid_sample(
-        jnp.asarray(fea.reshape(b, h, w, c)),
-        flow_ref.reshape(b, h, w, 2), align_corners=False)
-
-    warped, flow = transform_warp_fused(
-        jnp.asarray(fea), jnp.asarray(t_n), jnp.asarray(s_n),
-        jnp.asarray(mt), jnp.asarray(ms), jnp.asarray(grid), h, w, 100.0)
-    np.testing.assert_allclose(np.asarray(flow), np.asarray(flow_ref),
-                               atol=1e-5)
-    np.testing.assert_allclose(np.asarray(warped).reshape(b, h, w, c),
-                               np.asarray(warped_ref), atol=1e-4)
-
-    # gradients route through the composite VJP
-    def loss(f, t):
-        warped_, _ = transform_warp_fused(
-            f, t, jnp.asarray(s_n), jnp.asarray(mt), jnp.asarray(ms),
-            jnp.asarray(grid), h, w, 10.0)
-        return jnp.sum(warped_ ** 2)
-
-    grads = jax.grad(loss, argnums=(0, 1))(jnp.asarray(fea),
-                                           jnp.asarray(t_n))
-    assert all(np.isfinite(np.asarray(g)).all() for g in grads)
-
-
 def test_pallas_fused_flow_gradients_match():
     import jax
     from wacv23_tsnet_tpu.ops.pallas_similarity import masked_attention_flow_fused

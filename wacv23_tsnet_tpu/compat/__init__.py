@@ -13,6 +13,7 @@ from .torch_export import (
 )
 from .reference_loop import (
     load_reference_tsnet,
+    load_reference_tsnet_pose,
     run_reference_clip,
 )
 
@@ -27,5 +28,6 @@ __all__ = [
     "reference_checkpoint",
     "save_reference_checkpoint",
     "load_reference_tsnet",
+    "load_reference_tsnet_pose",
     "run_reference_clip",
 ]

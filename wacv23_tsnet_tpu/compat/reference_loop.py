@@ -78,6 +78,34 @@ def load_reference_tsnet(ckpt_path: str, n_source: int = 3,
     return model
 
 
+def load_reference_tsnet_pose(ckpt_path: str, n_source: int = 3,
+                              n_blocks: int = 4, n_downsampling: int = 3,
+                              label_nc: int = 25):
+    """Construct the reference POSE TSNet (model/TSNet_pose.py:206-280)
+    and load a .pth through the reference demo's load path
+    (demo/demo_pose.py:120-133): is_train=False, use_mask=True, the
+    shipped IMG_MEAN — so the fixed foreground-column compositing
+    (TSNet_pose.py:276-280,416-417) runs exactly as the reference demo
+    runs it."""
+    import torch
+
+    with _cpu_reference_env():
+        from model.TSNet_pose import TSNet as RefTSNetPose
+
+        model = RefTSNetPose(is_train=False, label_nc=label_nc,
+                             n_blocks=n_blocks,
+                             n_downsampling=n_downsampling,
+                             n_source=n_source, use_mask=True)
+        checkpoint = torch.load(ckpt_path, map_location="cpu",
+                                weights_only=False)
+        model.img_enc.load_state_dict(checkpoint["img_enc"])
+        model.lbl_enc.load_state_dict(checkpoint["lbl_enc"])
+        model.fuse_net.load_state_dict(checkpoint["fuse_net"])
+        model.dec.load_state_dict(checkpoint["dec"])
+        model.eval()
+    return model
+
+
 def run_reference_clip(model, src_imgs, src_lbls, src_bboxes,
                        tar_lbls, tar_bboxes) -> np.ndarray:
     """The reference per-frame inference loop (demo/demo_face.py:185-192).

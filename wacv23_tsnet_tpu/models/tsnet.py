@@ -190,23 +190,19 @@ def tsnet_forward(
     dt = mods.dtype
 
     # --- encoders ------------------------------------------------------
-    # folded-stem fast path (exact, differentiable; nn.encoder): the 7x7
-    # stem reads 5-8 input channels -> <=8/128 MXU lanes unfolded. Also
-    # keeps the stem's filter-gradient conv out of XLA's space-to-batch
-    # converter (the CHECK-crash worked around in train/step.py)
-    from ..nn.encoder import encoder_apply_fast
-
+    # Plain module path. The folded-stem rewrite (nn.encoder.
+    # encoder_apply_fast, round 3) measured as a REGRESSION end to end on
+    # the chip: 829 -> 702 ms/step at bs=15 with it off (round-4 bisect,
+    # artifacts/round4/logs/bisect_train2.log) — the space-to-depth fold
+    # relayouts cost more than the low-occupancy 7x7 stem they replace.
+    # Its other role (dodging XLA's space-to-batch backprop-filter
+    # CHECK-crash) is covered by the compiler-options fallback in
+    # train/step.py.
     def run_img_enc(x):
-        return encoder_apply_fast(mods.img_enc, params["img_enc"], x)
+        return mods.img_enc.apply({"params": params["img_enc"]}, x)
 
     def run_lbl_enc(x):
-        return encoder_apply_fast(mods.lbl_enc, params["lbl_enc"], x)
-
-    if cfg.remat:
-        # the fast path bypasses the fnn.remat module wrappers; keep the
-        # same activation-rematerialization contract here
-        run_img_enc = jax.checkpoint(run_img_enc)
-        run_lbl_enc = jax.checkpoint(run_lbl_enc)
+        return mods.lbl_enc.apply({"params": params["lbl_enc"]}, x)
     enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
     src_img_fea = jax.vmap(run_img_enc, in_axes=1, out_axes=1)(enc_in)
     tar_lbl_fea = run_lbl_enc(tar_lbl.astype(dt))      # (B, h, w, C)
@@ -295,11 +291,18 @@ def tsnet_forward(
 def encode_sources(mods: TSNetModules, params: dict, src_img: jnp.ndarray,
                    src_lbl: jnp.ndarray, src_bbox: jnp.ndarray) -> dict:
     """Encode the S reference frames once; returns the device-resident
-    source pack reused by every subsequent driving frame."""
+    source pack reused by every subsequent driving frame.
+
+    Uses the plain module path, NOT the folded-stem rewrite: the round-4
+    chip bisect (artifacts/round4/logs/bisect_clip.log) measured the
+    folded stem as a 633.7 -> 497.4 ms/clip END-TO-END regression at the
+    256-frame bench shape — the space-to-depth fold's relayout costs more
+    than the low-occupancy 7x7 stem it replaces. Training keeps the
+    folded stem (bisect_train.log: neutral there, and it avoids the
+    space-to-batch backprop-filter crash)."""
     dt = mods.dtype
-    from ..nn.encoder import encoder_apply_fast
     enc_in = jnp.concatenate([src_img, src_lbl], axis=-1).astype(dt)
-    src_fea = encoder_apply_fast(mods.img_enc, params["img_enc"], enc_in)
+    src_fea = mods.img_enc.apply({"params": params["img_enc"]}, enc_in)
     h, w = src_fea.shape[1:3]
     return {
         "fea": src_fea,
@@ -319,10 +322,9 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
     src_fea_n = src_pack["fea_n"]
     src_mask = src_pack["mask"]
 
-    # folded-stem fast path (exact; pure XLA, GSPMD-safe): the 7x7 stem
-    # reads 5 input channels -> 5/128 MXU lanes; the fold packs it to 80
-    from ..nn.encoder import encoder_apply_fast
-    tar_fea = encoder_apply_fast(mods.lbl_enc, params["lbl_enc"],
+    # plain module stem (round-4 bisect: the folded-stem rewrite is an
+    # end-to-end clip regression; see encode_sources)
+    tar_fea = mods.lbl_enc.apply({"params": params["lbl_enc"]},
                                  tar_lbl.astype(dt))        # (F, h, w, C)
     h, w = tar_fea.shape[1:3]
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
@@ -364,10 +366,15 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
 
         syn_fea = jnp.mean(jax.vmap(fuse_one_source)(src_fea), axis=0)
 
+    # use_pallas_blocks=False: the decoder's Pallas resblock kernels are
+    # an end-to-end regression at the clip shape (round-4 chip bisect,
+    # artifacts/round4/logs/bisect_clip.log: 633.7 -> 533.3 ms/clip with
+    # them OFF at HEAD) — XLA's own conv fusion wins here. The kernels
+    # remain available for study via decoder_apply_fast directly.
     from ..nn.decoder import decoder_apply_fast
     rec_img, _ = decoder_apply_fast(mods.dec, params["dec"], prop_fea,
                                     syn_fea, return_fea=False,
-                                    use_pallas_blocks=bool(use_pallas))
+                                    use_pallas_blocks=False)
     rec_img = rec_img.astype(jnp.float32)
     if cfg.use_fg_mask:
         rec_img = composite_foreground(rec_img, cfg)

@@ -100,7 +100,14 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     # sources run as ONE fused Pallas pass (the XLA lowering reads the
     # (S*F, ...) tensor twice; measured 12.4 -> ~4 ms/clip).
     del b2
-    if use_pallas and dtype == jnp.bfloat16:
+    # The fused pair-block kernel is opt-in (TSNET_FUSE_PAIR_KERNEL=1):
+    # the round-4 chip bisect measured it a small end-to-end LOSS at the
+    # 256-frame clip shape (653.0 vs 661.5 fps with the XLA composition;
+    # artifacts/round4/logs/bisect_clip2.log) — XLA pipelines the hp
+    # round trip better than the kernel's per-pair refetch.
+    import os
+    if (use_pallas and dtype == jnp.bfloat16
+            and os.environ.get("TSNET_FUSE_PAIR_KERNEL", "0") == "1"):
         # fused [pair-sum + IN + relu + conv2] kernel: the 805 MB
         # (S*F, h, w, 2C) hp tensor never reaches HBM and conv2 runs as
         # row-contiguous MXU dots (ops.pallas_fuse). Wrapped in

@@ -118,11 +118,15 @@ def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
     out_dtype = x.dtype if out_dtype is None else jnp.dtype(out_dtype)
 
     # statistics are per channel, so the channel axis tiles freely into
-    # the grid; full-plane (1024, 1024) blocks need the raised scoped
-    # VMEM limit below (the 16 MB default measured a 19.8 MB demand),
-    # and quarter the grid-step count vs the former 256-channel tiles
+    # the grid. Block-size knob (TSNET_IN_MEAN_CC, read at trace time):
+    # round 3 raised the cap 256 -> 1024 (full-plane blocks, 4x fewer
+    # grid steps) and shipped it unmeasured at HEAD — the round-4 chip
+    # bisect measures both; full-plane blocks need the raised scoped
+    # VMEM limit below (the 16 MB default measured a 19.8 MB demand).
+    import os
+    cap = int(os.environ.get("TSNET_IN_MEAN_CC", "1024"))
     cc = c
-    while cc > 1024 and cc % 2 == 0:
+    while cc > cap and cc % 2 == 0:
         cc //= 2
 
     def call(xs):

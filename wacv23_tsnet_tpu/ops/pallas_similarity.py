@@ -160,92 +160,6 @@ masked_attention_flow_fused.defvjp(_fused_fwd, _fused_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _transform_warp_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, fea_ref,
-                           outw_ref, outf_ref, *, temp, h, w):
-    tt = t_ref[0].astype(jnp.float32)              # (TILE_T, C)
-    ss = s_ref[0].astype(jnp.float32)              # (S, C) normalized
-    logits = jax.lax.dot_general(
-        tt, ss, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    mt = mt_ref[0].astype(jnp.float32)             # (TILE_T, 1)
-    ms = ms_ref[0].astype(jnp.float32)             # (1, S)
-    coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
-    z = temp * (logits * coeff)
-    z = z - jnp.max(z, axis=-1, keepdims=True)
-    p = jnp.exp(z)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)     # (TILE_T, S)
-
-    flow = jax.lax.dot_general(
-        p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                              # (TILE_T, LANES)
-    outf_ref[0] = flow
-
-    # unnormalize (align_corners=False): ix = ((x + 1) * W - 1) / 2
-    ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5    # (TILE_T, 1)
-    iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
-    s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
-    sx = (s_ids % w).astype(jnp.float32)           # (1, S)
-    sy = (s_ids // w).astype(jnp.float32)
-    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))  # (TILE_T, S)
-    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
-    wmat = wx * wy
-    # HIGHEST: Mosaic's dot lowering supports only DEFAULT/HIGHEST,
-    # and each row reduces only 4 nonzero tent weights so exactness is
-    # cheapest here anyway
-    outw_ref[0] = jax.lax.dot_general(
-        wmat, fea_ref[0].astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _transform_warp_pallas(tar_fea, src_fea_n, mt_col, ms_row, grid_padded,
-                           src_fea, temp, h, w):
-    b, t, c = tar_fea.shape
-    s = src_fea_n.shape[1]
-    tile_t = min(_TILE_T, t)
-    kernel = functools.partial(_transform_warp_kernel, temp=temp, h=h, w=w)
-    return pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, t, _LANES), jnp.float32),
-        ),
-        grid=(b, t // tile_t),
-        in_specs=[
-            pl.BlockSpec((1, tile_t, c), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, 1), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, _LANES), lambda bi, ti: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, c), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, tile_t, c), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_t, _LANES), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * t * s * (2 * c + _LANES),
-            bytes_accessed=4 * b * (t * c * 2 + 2 * s * c + t * _LANES),
-            transcendentals=b * t * s,
-        ),
-        interpret=_interpret(),
-    )(tar_fea, src_fea_n, mt_col, ms_row, grid_padded, src_fea)
-
-
 def _transform_warp_ref(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
                         grid, h, w, temp):
     """Composite einsum + grid_sample reference (for the VJP)."""
@@ -258,52 +172,6 @@ def _transform_warp_ref(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
     warped = grid_sample(src_fea.reshape(b, h, w, c),
                          flow.reshape(b, h, w, 2), align_corners=False)
     return warped.reshape(b, h * w, c), flow
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
-def transform_warp_fused(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask,
-                         grid, h: int, w: int, temp: float = 100.0):
-    """One-kernel transformation branch.
-
-    Args are (B, S=h*w, C) flattened features / (B, S) masks / (S, 2)
-    grid. Returns (warped (B, h*w, C), flow (B, h*w, 2)); identical to
-    masked_attention_flow + zeros-padded bilinear grid_sample.
-
-    Status: fastest for direct large-batch calls; do NOT wrap in `vmap`
-    (the batched pallas_call lowering for this multi-output kernel is
-    currently ~20x slower than calling it on a flattened batch) — the
-    model's default path therefore uses the flow kernel + XLA gather.
-    Select with `transformation_warp(..., use_pallas="fused_warp")`.
-    """
-    b, t, c = tar_fea_n.shape
-    s = src_fea_n.shape[1]
-    if t % min(_TILE_T, t) != 0:
-        return _transform_warp_ref(src_fea, tar_fea_n, src_fea_n, tar_mask,
-                                   src_mask, grid, h, w, temp)
-    grid_padded = jnp.zeros((s, _LANES), jnp.float32).at[:, :2].set(
-        grid.astype(jnp.float32))
-    warped, flow = _transform_warp_pallas(
-        tar_fea_n.astype(jnp.float32), src_fea_n.astype(jnp.float32),
-        tar_mask.astype(jnp.float32).reshape(b, t, 1),
-        src_mask.astype(jnp.float32).reshape(b, 1, s),
-        grid_padded, src_fea.astype(jnp.float32), temp, h, w)
-    return warped, flow[:, :, :2]
-
-
-def _tw_fwd(src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid,
-            h, w, temp):
-    out = transform_warp_fused(src_fea, tar_fea_n, src_fea_n, tar_mask,
-                               src_mask, grid, h, w, temp)
-    return out, (src_fea, tar_fea_n, src_fea_n, tar_mask, src_mask, grid)
-
-
-def _tw_bwd(h, w, temp, residuals, g):
-    _, vjp = jax.vjp(
-        lambda *a: _transform_warp_ref(*a, h=h, w=w, temp=temp), *residuals)
-    return vjp(g)
-
-
-transform_warp_fused.defvjp(_tw_fwd, _tw_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +219,8 @@ def _pair_kernel(t_ref, s_ref, mt_ref, ms_ref, grid_ref, fea_ref,
     if outf:
         outf[0][0, 0, 0] = flow
 
-    # dense separable-tent bilinear warp (see transform_warp_fused)
+    # dense separable-tent bilinear warp: grid_sample as a (T, S) matmul
+    # of per-row 4-nonzero tent weights against the source features
     ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
     iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)

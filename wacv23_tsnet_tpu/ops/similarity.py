@@ -146,21 +146,12 @@ def transformation_warp(
     """
     b, h, w, c = src_img_fea.shape
     grid = normalized_grid(h, w).reshape(h * w, 2)
-    if use_pallas == "fused_warp":
-        # one kernel for the whole branch: similarity, mask, softmax,
-        # coordinate-translator flow, AND the bilinear warp (as a dense
-        # tent-weight matmul) stay in VMEM. Fastest standalone; under
-        # the clip path's vmap-over-sources it currently lowers poorly,
-        # so the default `True` uses the flow kernel + XLA gather.
-        from .pallas_similarity import transform_warp_fused
-        warped, flow = transform_warp_fused(
-            src_img_fea.reshape(b, h * w, c),
-            tar_fea_n.reshape(b, h * w, c),
-            src_fea_n.reshape(b, h * w, c),
-            tar_mask.reshape(b, h * w),
-            src_mask.reshape(b, h * w),
-            grid, h, w, temp)
-        return warped.reshape(b, h, w, c), flow.reshape(b, h, w, 2)
+    # (A standalone one-kernel [similarity+softmax+flow+warp] variant,
+    # `transform_warp_fused`, was retired in round 4: the pairs-grid
+    # kernels below fold the source/frame axes into the kernel grid and
+    # fuse the same warp, superseding it everywhere — the vmap-over-
+    # sources lowering of the single-pair kernel measured ~20x slower,
+    # while transform_warp_pairs* are the shipped defaults.)
     if use_pallas:
         from .pallas_similarity import masked_attention_flow_fused
         flow = masked_attention_flow_fused(
