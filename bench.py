@@ -193,6 +193,87 @@ def measure_train_step() -> float:
     return ms, tflops
 
 
+def measure_pose() -> tuple:
+    """Pose-variant numbers (VERDICT r3 item 4): streaming clip fps and
+    train ms/step at the reference's shipped scale (train_pose.py:24-29 —
+    n_source=3, batch 10, label_nc=25, netDF + fg-mask compositing)."""
+    import dataclasses
+    import functools
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from wacv23_tsnet_tpu.configs import pose_config
+    from wacv23_tsnet_tpu.models import TSNetModules
+    from wacv23_tsnet_tpu.models.tsnet import tsnet_forward_clip
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = dataclasses.replace(pose_config(), precision="high",
+                              fast_tail=True)
+    mods = TSNetModules(cfg)
+    params = mods.init_generator_params(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    l = cfg.label_nc
+    src_img = jnp.asarray(rng.random((N_SOURCE, SIZE, SIZE, 3), np.float32))
+    src_lbl = jnp.asarray(
+        rng.integers(0, 2, (N_SOURCE, SIZE, SIZE, l)).astype(np.float32))
+    src_bbox = jnp.asarray(
+        rng.integers(0, 2, (N_SOURCE, SIZE, SIZE)).astype(np.float32))
+    tar_lbl = jnp.asarray(
+        rng.integers(0, 2, (CLIP_FRAMES, SIZE, SIZE, l)).astype(np.float32))
+    tar_bbox = jnp.asarray(
+        rng.integers(0, 2, (CLIP_FRAMES, SIZE, SIZE)).astype(np.float32))
+    fwd = functools.partial(tsnet_forward_clip, mods, use_pallas=True)
+    fn = jax.jit(lambda p, *a: jnp.sum(jnp.abs(fwd(p, *a))))
+    args = (params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox)
+    t0 = time.perf_counter()
+    float(fn(*args))
+    log(f"[bench] pose clip compile+1st: {time.perf_counter() - t0:.1f}s")
+    iters = 10
+    t0 = time.perf_counter()
+    sums = [fn(*args) for _ in range(iters)]
+    for s_ in sums:
+        float(s_)
+    fps = CLIP_FRAMES / ((time.perf_counter() - t0) / iters)
+    log(f"[bench] pose clip: {fps:.2f} frames/sec/chip")
+    # free the clip buffers before the train phase — tar_lbl alone is
+    # 256 frames x 256^2 x 25ch f32 = 6.7 GB of the 16 GB HBM
+    del fn, args, params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox
+
+    # pose train step at the shipped bs=10 (reference train_pose.py:29)
+    cfg_t = dataclasses.replace(pose_config(), precision="high")
+    mods_t = TSNetModules(cfg_t)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods_t, jax.random.PRNGKey(0), vgg_params=vgg)
+    bs, s = 10, cfg_t.n_source
+    batch = {k: jnp.asarray(v) for k, v in {
+        "src_img": rng.random((bs, s, SIZE, SIZE, 3), np.float32),
+        "src_lbl": rng.integers(0, 2, (bs, s, SIZE, SIZE, l)).astype(np.float32),
+        "src_bbox": rng.integers(0, 2, (bs, s, SIZE, SIZE)).astype(np.float32),
+        "tar_img": rng.random((bs, SIZE, SIZE, 3), np.float32),
+        "tar_lbl": rng.integers(0, 2, (bs, SIZE, SIZE, l)).astype(np.float32),
+        "tar_bbox": rng.integers(0, 2, (bs, SIZE, SIZE)).astype(np.float32),
+    }.items()}
+    step = make_train_step(mods_t, donate=True)
+    t0 = time.perf_counter()
+    state, _, r = step(state, batch, jnp.float32(2e-4))
+    float(jnp.sum(r))
+    log(f"[bench] pose train compile+1st: {time.perf_counter() - t0:.1f}s")
+    iters = 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, _, r = step(state, batch, jnp.float32(2e-4))
+    float(jnp.sum(r))
+    ms = (time.perf_counter() - t0) / iters * 1000
+    log(f"[bench] pose train: {ms:.0f} ms/step (bs=10, 256^2, netDF)")
+    return fps, ms
+
+
 def measure_torch_reference() -> dict:
     """Per-frame reference-style inference with torch on this host."""
     import torch
@@ -309,6 +390,12 @@ def main():
     except Exception as e:                            # pragma: no cover
         log(f"[bench] train-step bench failed: {e}")
         train_ms, train_flops = None, None
+    try:
+        pose_fps, pose_train_ms = measure_pose()
+        pose_fps, pose_train_ms = round(pose_fps, 2), round(pose_train_ms, 1)
+    except Exception as e:                            # pragma: no cover
+        log(f"[bench] pose bench failed: {e}")
+        pose_fps, pose_train_ms = None, None
     record = {
         "metric": "face retargeting streaming inference, 256x256, "
                   "n_source=3, 1 chip",
@@ -323,6 +410,10 @@ def main():
         "train_ms_per_step": train_ms,
         "train_config": "bs=15, 256^2, face, single jitted D+G step, "
                         "precision=high (the sustained-run tier)",
+        "pose_fps": pose_fps,
+        "pose_train_ms_per_step": pose_train_ms,
+        "pose_config": "256^2, label_nc=25, n_source=3, netDF + fg-mask; "
+                       "train at the shipped bs=10 (train_pose.py:29)",
     }
     if flops_per_frame:
         record["gflop_per_frame"] = round(flops_per_frame / 1e9, 1)

@@ -47,6 +47,11 @@ def main(argv=None):
     p.add_argument("--precision", default="highest",
                    choices=["highest", "high", "default"],
                    help="MXU precision (highest = torch bit-parity)")
+    p.add_argument("--bwd-precision", default=None,
+                   choices=["highest", "high", "default"],
+                   help="MXU precision of the backward convs only "
+                        "(default: same as --precision; 'default' = one "
+                        "bf16 pass, see ops/dpconv.py)")
     p.add_argument("--random-seed", type=int, default=1234)
     p.add_argument("--restore-from", default="")
     p.add_argument("--set-start", action="store_true")
@@ -69,7 +74,9 @@ def main(argv=None):
     cfg = dataclasses.replace(face_config(), n_source=args.n_source,
                               dec_n_blocks=args.n_blocks,
                               n_downsampling=args.n_downsampling,
-                              precision=args.precision, **overrides)
+                              precision=args.precision,
+                              bwd_precision=args.bwd_precision,
+                              **overrides)
     tcfg = TrainConfig(batch_size=args.batch_size, lr=args.learning_rate,
                        lambda_dec=args.lambda_dec,
                        initial_epoch=args.initial_epoch,

@@ -8,7 +8,7 @@ with frozen dataclasses. All knobs of the reference are preserved.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -61,6 +61,12 @@ class TSNetConfig:
     # feed the temp-100 attention (only the encoders do), so tail
     # precision trades a small output drift for the bulk of the FLOPs.
     fast_tail: bool = False
+    # MXU precision of the BACKWARD convs only (None = same as forward).
+    # The backward pass of every conv is two more convs (input-cotangent
+    # + filter-gradient); those feed Adam, not the precision-sensitive
+    # temp-100 attention, so they tolerate "default" (one bf16 pass)
+    # while the forward stays at `precision`. See ops/dpconv.py.
+    bwd_precision: Optional[str] = None
     # rematerialize subnet activations in the backward pass (jax
     # checkpoint): ~30% more forward FLOPs for a large cut in training
     # HBM, enabling bigger batches/resolutions on one chip.

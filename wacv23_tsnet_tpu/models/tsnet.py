@@ -51,25 +51,26 @@ class TSNetModules:
         else:
             enc_cls, dec_cls, fuse_cls, disc_cls = (
                 Encoder, Decoder, FuseNet, PatchDiscriminator)
+        bwd = cfg.bwd_precision
         self.img_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=cfg.enc_n_blocks,
                                addcoords=cfg.addcoords, dtype=dt,
-                               precision=prec)
+                               precision=prec, bwd_precision=bwd)
         self.lbl_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=0, addcoords=cfg.addcoords, dtype=dt,
-                               precision=prec)
+                               precision=prec, bwd_precision=bwd)
         tail_dt = jnp.bfloat16 if cfg.fast_tail else dt
         tail_prec = "default" if cfg.fast_tail else prec
         self.dec = dec_cls(output_nc=3, ngf=cfg.ngf,
                            n_downsampling=cfg.n_downsampling,
                            n_blocks=cfg.dec_n_blocks, dtype=tail_dt,
-                           precision=tail_prec)
+                           precision=tail_prec, bwd_precision=bwd)
         self.fuse_net = fuse_cls(ngf=2 * feat, n_blocks=1, dtype=tail_dt,
-                                 precision=tail_prec)
+                                 precision=tail_prec, bwd_precision=bwd)
         self.netD = disc_cls(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
-                             dtype=dt, precision=prec)
+                             dtype=dt, precision=prec, bwd_precision=bwd)
         self.netDF = (disc_cls(ndf=cfg.ndf, n_layers=cfg.d_n_layers,
-                               dtype=dt, precision=prec)
+                               dtype=dt, precision=prec, bwd_precision=bwd)
                       if cfg.use_face_d else None)
 
     def init_generator_params(self, rng: jax.Array) -> dict:
@@ -256,7 +257,8 @@ def tsnet_forward(
         syn_fea = fuse_train(params["fuse_net"], src_img_fea.astype(dt),
                              tar_lbl_fea, dtype=mods.fuse_net.dtype,
                              precision=mods.fuse_net.precision,
-                             use_pallas=bool(use_pallas))
+                             use_pallas=bool(use_pallas),
+                             bwd_precision=cfg.bwd_precision)
     else:
         syn_fea = jnp.mean(jax.vmap(
             lambda f: mods.fuse_net.apply({"params": params["fuse_net"]},
@@ -273,7 +275,8 @@ def tsnet_forward(
 
     def run_dec(pf, sf):
         return decoder_apply_fast(mods.dec, params["dec"], pf, sf,
-                                  return_fea=True)
+                                  return_fea=True,
+                                  bwd_precision=cfg.bwd_precision)
 
     if cfg.remat:
         run_dec = jax.checkpoint(run_dec)

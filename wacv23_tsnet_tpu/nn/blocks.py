@@ -11,12 +11,51 @@ model/networks.py:13-35,67-104):
 
 from __future__ import annotations
 
+from typing import Any, Callable, Optional, Tuple
+
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.dpconv import conv2d_dp
 from ..ops.norms import instance_norm
 
 conv_init = nn.initializers.normal(stddev=0.02)
+
+
+class DPConv(nn.Module):
+    """`nn.Conv` with a decoupled backward MXU precision (ops.dpconv).
+
+    Parameter tree ({kernel, bias}, HWIO) and forward math are identical
+    to `flax.linen.Conv`; with `bwd_precision=None` the lowering is the
+    plain conv under normal AD. Only the argument subset TS-Net uses is
+    supported (2D, no dilation/groups).
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "VALID"
+    use_bias: bool = True
+    kernel_init: Callable = conv_init
+    dtype: Any = jnp.float32
+    precision: Any = None
+    bwd_precision: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            tuple(self.kernel_size) + (x.shape[-1], self.features),
+            jnp.float32)
+        y = conv2d_dp(x.astype(self.dtype), kernel.astype(self.dtype),
+                      self.strides, self.padding,
+                      precision=self.precision,
+                      bwd_precision=self.bwd_precision)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 def get_initializer(init_type: str = "normal", init_gain: float = 0.02):
@@ -75,16 +114,19 @@ class ResnetBlock(nn.Module):
     dim: int
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bwd_precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = reflect_pad(x, 1)
-        h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=conv_init,
-                    dtype=self.dtype, precision=self.precision, name="conv1")(h)
+        h = DPConv(self.dim, (3, 3), padding="VALID", kernel_init=conv_init,
+                   dtype=self.dtype, precision=self.precision,
+                   bwd_precision=self.bwd_precision, name="conv1")(h)
         h = instance_norm(h)
         h = nn.relu(h)
         h = reflect_pad(h, 1)
-        h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=conv_init,
-                    dtype=self.dtype, precision=self.precision, name="conv2")(h)
+        h = DPConv(self.dim, (3, 3), padding="VALID", kernel_init=conv_init,
+                   dtype=self.dtype, precision=self.precision,
+                   bwd_precision=self.bwd_precision, name="conv2")(h)
         h = instance_norm(h)
         return x + h

@@ -14,10 +14,13 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
+from ..ops.dpconv import conv2d_dp
 from ..ops.norms import instance_norm
 from ..ops.resize import upsample_bilinear_2x
 from ..ops.upconv import conv7x7_phase, depth_to_space, upconv_in_relu
-from .blocks import ResnetBlock, conv_init, reflect_pad
+from .blocks import DPConv, ResnetBlock, conv_init, reflect_pad
 
 
 class Decoder(nn.Module):
@@ -27,30 +30,34 @@ class Decoder(nn.Module):
     n_blocks: int = 0
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bwd_precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, prop_fea: jnp.ndarray, syn_fea: jnp.ndarray):
+        kw = dict(kernel_init=conv_init, dtype=self.dtype,
+                  precision=self.precision,
+                  bwd_precision=self.bwd_precision)
         x = jnp.concatenate([prop_fea, syn_fea], axis=-1)
         mult = 2 ** self.n_downsampling
-        x = nn.Conv(self.ngf * mult, (1, 1), kernel_init=conv_init,
-                    dtype=self.dtype, precision=self.precision, name="map_conv")(x)
+        x = DPConv(self.ngf * mult, (1, 1), padding="SAME",
+                   name="map_conv", **kw)(x)
         for j in range(self.n_blocks):
-            x = ResnetBlock(self.ngf * mult, dtype=self.dtype, precision=self.precision,
+            x = ResnetBlock(self.ngf * mult, dtype=self.dtype,
+                            precision=self.precision,
+                            bwd_precision=self.bwd_precision,
                             name=f"block{j}")(x)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             x = upsample_bilinear_2x(x)
             x = reflect_pad(x, 1)
-            x = nn.Conv(self.ngf * mult // 2, (3, 3), padding="VALID",
-                        kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
-                        name=f"up{i}")(x)
+            x = DPConv(self.ngf * mult // 2, (3, 3), padding="VALID",
+                       name=f"up{i}", **kw)(x)
             x = instance_norm(x)
             x = nn.relu(x)
         fea = x
         x = reflect_pad(x, 3)
-        x = nn.Conv(self.output_nc, (7, 7), padding="VALID",
-                    kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
-                    name="conv_out")(x)
+        x = DPConv(self.output_nc, (7, 7), padding="VALID",
+                   name="conv_out", **kw)(x)
         return jnp.tanh(x), fea
 
 
@@ -63,7 +70,8 @@ _PREC = {
 
 def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
                        syn_fea: jnp.ndarray, return_fea: bool = True,
-                       use_pallas_blocks: bool = False):
+                       use_pallas_blocks: bool = False,
+                       bwd_precision: Optional[str] = None):
     """`Decoder.__call__` with the upsample stages phase-decomposed.
 
     Identical math and param tree; each [bilinear-2x, reflect-pad, 3x3
@@ -85,9 +93,8 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
     def conv(x, p, pad=0):
         if pad:
             x = reflect_pad(x, pad)
-        y = jax.lax.conv_general_dilated(
-            x, jnp.asarray(p["kernel"], dt), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+        y = conv2d_dp(x, jnp.asarray(p["kernel"], dt), (1, 1), "VALID",
+                      precision=prec, bwd_precision=bwd_precision)
         return y + jnp.asarray(p["bias"], dt)
 
     # XLA instance_norm throughout: a fused Pallas IN (ops.pallas_norms)
@@ -133,10 +140,11 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
     # per-channel constant cancels exactly in the instance norm)
     for i in range(dec.n_downsampling - 1):
         up = params[f"up{i}"]
-        x = upconv_in_relu(x, jnp.asarray(up["kernel"], dt), precision=prec)
+        x = upconv_in_relu(x, jnp.asarray(up["kernel"], dt), precision=prec,
+                           bwd_precision=bwd_precision)
     up = params[f"up{dec.n_downsampling - 1}"]
     x = upconv_in_relu(x, jnp.asarray(up["kernel"], dt), precision=prec,
-                       phase_out=True)
+                       phase_out=True, bwd_precision=bwd_precision)
     # (a 16-phase/quarter-res tail was measured TWICE as a net loss:
     # round 2 via general space-to-depth, round 3 via strided-row
     # pad-add relayout — 34.5 vs 18.8 ms/clip standalone; the wider MXU

@@ -75,34 +75,36 @@ class PatchDiscriminator(nn.Module):
     n_layers: int = 3
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bwd_precision: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        from .blocks import DPConv
+        kw = dict(kernel_init=conv_init, dtype=self.dtype,
+                  precision=self.precision,
+                  bwd_precision=self.bwd_precision)
         feats = []
         pad = ((1, 1), (1, 1))
-        x = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=pad,
-                    kernel_init=conv_init, dtype=self.dtype, precision=self.precision, name="stage0")(x)
+        x = DPConv(self.ndf, (4, 4), strides=(2, 2), padding=pad,
+                   name="stage0", **kw)(x)
         x = nn.leaky_relu(x, 0.2)
         feats.append(x)
         nf = 1
         for n in range(1, self.n_layers):
             nf = min(2 ** n, 8)
-            x = nn.Conv(self.ndf * nf, (4, 4), strides=(2, 2), padding=pad,
-                        kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
-                        name=f"stage{n}")(x)
+            x = DPConv(self.ndf * nf, (4, 4), strides=(2, 2), padding=pad,
+                       name=f"stage{n}", **kw)(x)
             x = instance_norm(x)
             x = nn.leaky_relu(x, 0.2)
             feats.append(x)
         nf = min(2 ** self.n_layers, 8)
-        x = nn.Conv(self.ndf * nf, (4, 4), strides=(1, 1), padding=pad,
-                    kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
-                    name=f"stage{self.n_layers}")(x)
+        x = DPConv(self.ndf * nf, (4, 4), strides=(1, 1), padding=pad,
+                   name=f"stage{self.n_layers}", **kw)(x)
         x = instance_norm(x)
         x = nn.leaky_relu(x, 0.2)
         feats.append(x)
-        x = nn.Conv(1, (4, 4), strides=(1, 1), padding=pad,
-                    kernel_init=conv_init, dtype=self.dtype, precision=self.precision,
-                    name=f"stage{self.n_layers + 1}")(x)
+        x = DPConv(1, (4, 4), strides=(1, 1), padding=pad,
+                   name=f"stage{self.n_layers + 1}", **kw)(x)
         feats.append(x)
         return feats
 

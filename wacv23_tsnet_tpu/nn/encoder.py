@@ -15,9 +15,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Optional
+
 from ..ops.coords import coord_channels
 from ..ops.norms import instance_norm, l2_normalize
-from .blocks import ResnetBlock, conv_init, reflect_pad
+from .blocks import DPConv, ResnetBlock, conv_init, reflect_pad
 
 
 class Encoder(nn.Module):
@@ -28,25 +30,30 @@ class Encoder(nn.Module):
     normalization: bool = False
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bwd_precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.addcoords:
             x = coord_channels(x)
         x = reflect_pad(x, 3)
-        x = nn.Conv(self.ngf, (7, 7), padding="VALID", kernel_init=conv_init,
-                    dtype=self.dtype, precision=self.precision, name="conv_in")(x)
+        x = DPConv(self.ngf, (7, 7), padding="VALID", kernel_init=conv_init,
+                   dtype=self.dtype, precision=self.precision,
+                   bwd_precision=self.bwd_precision, name="conv_in")(x)
         x = instance_norm(x)
         x = nn.relu(x)
         for i in range(self.n_downsampling):
-            x = nn.Conv(self.ngf * (2 ** (i + 1)), (3, 3), strides=(2, 2),
-                        padding=((1, 1), (1, 1)), kernel_init=conv_init,
-                        dtype=self.dtype, precision=self.precision, name=f"down{i}")(x)
+            x = DPConv(self.ngf * (2 ** (i + 1)), (3, 3), strides=(2, 2),
+                       padding=((1, 1), (1, 1)), kernel_init=conv_init,
+                       dtype=self.dtype, precision=self.precision,
+                       bwd_precision=self.bwd_precision, name=f"down{i}")(x)
             x = instance_norm(x)
             x = nn.relu(x)
         for j in range(self.n_blocks):
             x = ResnetBlock(self.ngf * (2 ** self.n_downsampling),
-                            dtype=self.dtype, precision=self.precision, name=f"block{j}")(x)
+                            dtype=self.dtype, precision=self.precision,
+                            bwd_precision=self.bwd_precision,
+                            name=f"block{j}")(x)
         if self.normalization:
             x = l2_normalize(x, axis=-1)
         return x

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
+from ..ops.dpconv import conv2d_dp
 from ..ops.norms import instance_norm
 from ..ops.pallas_norms import instance_norm_mean
 from .blocks import ResnetBlock, conv_init, reflect_pad
@@ -28,14 +29,21 @@ class FuseNet(nn.Module):
     n_blocks: int = 1
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bwd_precision: str | None = None
 
     @nn.compact
     def __call__(self, src_fea: jnp.ndarray, tar_lbl_fea: jnp.ndarray):
+        from .blocks import DPConv
         x = jnp.concatenate([src_fea, tar_lbl_fea], axis=-1)
         for j in range(self.n_blocks):
-            x = ResnetBlock(self.ngf, dtype=self.dtype, precision=self.precision, name=f"block{j}")(x)
-        x = nn.Conv(self.ngf // 2, (1, 1), kernel_init=conv_init,
-                    dtype=self.dtype, precision=self.precision, name="conv")(x)
+            x = ResnetBlock(self.ngf, dtype=self.dtype,
+                            precision=self.precision,
+                            bwd_precision=self.bwd_precision,
+                            name=f"block{j}")(x)
+        x = DPConv(self.ngf // 2, (1, 1), padding="SAME",
+                   kernel_init=conv_init, dtype=self.dtype,
+                   precision=self.precision,
+                   bwd_precision=self.bwd_precision, name="conv")(x)
         return x
 
 
@@ -141,7 +149,8 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
 
 def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
                dtype=jnp.float32, precision: str = "highest",
-               use_pallas: bool = True) -> jnp.ndarray:
+               use_pallas: bool = True,
+               bwd_precision: str | None = None) -> jnp.ndarray:
     """mean_s FuseNet(src_fea[b, s], tar_fea[b]) for the TRAIN shape:
     per-sample target features shared across that sample's S sources.
 
@@ -168,9 +177,8 @@ def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     def conv(x, k, pad=0):
         if pad:
             x = reflect_pad(x, pad)
-        return jax.lax.conv_general_dilated(
-            x, k, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+        return conv2d_dp(x, k, (1, 1), "VALID", precision=prec,
+                         bwd_precision=bwd_precision)
 
     c1a = conv(a, k1[:, :, :c, :], pad=1).reshape(b, s, h, w, 2 * c)
     c1t = conv(t, k1[:, :, c:, :], pad=1) + b1          # (B, h, w, 2C)

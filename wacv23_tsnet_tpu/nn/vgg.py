@@ -43,13 +43,17 @@ class VGG19Features(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bwd_precision: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
+        from .blocks import DPConv
         taps = []
         for i, ch in enumerate(_VGG_CHANNELS):
-            x = nn.Conv(ch, (3, 3), padding=((1, 1), (1, 1)),
-                        dtype=self.dtype, precision=self.precision, name=f"conv{i}")(x)
+            x = DPConv(ch, (3, 3), padding=((1, 1), (1, 1)),
+                       kernel_init=nn.initializers.lecun_normal(),
+                       dtype=self.dtype, precision=self.precision,
+                       bwd_precision=self.bwd_precision, name=f"conv{i}")(x)
             x = nn.relu(x)
             if i in _TAPS:
                 taps.append(x)

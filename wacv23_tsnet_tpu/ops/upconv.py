@@ -272,7 +272,8 @@ def upsample2x_reflect_conv3(x: jnp.ndarray, kernel: jnp.ndarray,
 
 def upconv_in_relu(x: jnp.ndarray, kernel: jnp.ndarray,
                    precision: str = "highest", phase_out: bool = False,
-                   eps: float = 1e-5) -> jnp.ndarray:
+                   eps: float = 1e-5,
+                   bwd_precision: str | None = None) -> jnp.ndarray:
     """Fused [upsample2x -> reflect-pad -> conv3x3 -> instance_norm -> relu].
 
     Same math as `relu(instance_norm(upsample2x_reflect_conv3(...)))`
@@ -292,10 +293,12 @@ def upconv_in_relu(x: jnp.ndarray, kernel: jnp.ndarray,
     co = kernel.shape[3]
 
     kp = phase_kernel(kernel)
-    bulk = jax.lax.conv_general_dilated(
-        x, kp, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=prec)                              # (B, H, W, 4Co) phase
+    # the bulk conv carries ~all the FLOPs -> dual-precision backward;
+    # the thin ring convs below stay at the forward tier (negligible)
+    from .dpconv import conv2d_dp
+    bulk = conv2d_dp(x, kp, (1, 1), ((1, 1), (1, 1)),
+                     precision=prec,
+                     bwd_precision=bwd_precision)    # (B, H, W, 4Co) phase
 
     # closed-form border ring (see `_ring_kernels`); top/bot border
     # phase-cols are zero don't-cares owned by left/right below
@@ -420,7 +423,8 @@ def _col_padded(x: jnp.ndarray, c: int) -> jnp.ndarray:
 
 def conv7x7_phase(x_phase: jnp.ndarray, k7: jnp.ndarray,
                   bias: jnp.ndarray | None = None,
-                  precision: str = "highest") -> jnp.ndarray:
+                  precision: str = "highest",
+                  bwd_precision: str | None = None) -> jnp.ndarray:
     """Exact [reflect_pad(3) -> conv7x7 VALID] of the interleaved tensor,
     computed in phase layout.
 
@@ -442,9 +446,9 @@ def conv7x7_phase(x_phase: jnp.ndarray, k7: jnp.ndarray,
     ci = k7.shape[2]
     k5 = conv7x7_phase_kernel(k7)
     h, w = x_phase.shape[1:3]
-    y = jax.lax.conv_general_dilated(
-        x_phase, k5, (1, 1), ((2, 2), (2, 2)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), precision=prec)
+    from .dpconv import conv2d_dp
+    y = conv2d_dp(x_phase, k5, (1, 1), ((2, 2), (2, 2)),
+                  precision=prec, bwd_precision=bwd_precision)
 
     # exact ring: rows 0..1 read padded rows -2..3 => a 6-row slab with
     # the true pad rows on top (cols padded the same separable way)

@@ -49,7 +49,8 @@ def make_train_step(mods: TSNetModules, lambda_dec: float = 1.0,
     # torch's reference VGG runs plain f32 (~= the 3-pass "high" tier);
     # a hardcoded HIGHEST spent 6 passes on a loss signal (measured
     # 131 -> ~70 ms of the bs=15 step)
-    vgg = VGG19Features(dtype=mods.dtype, precision=cfg.precision)
+    vgg = VGG19Features(dtype=mods.dtype, precision=cfg.precision,
+                        bwd_precision=cfg.bwd_precision)
 
     def d_losses(disc_params, batch, rec_img):
         fake_st = jnp.concatenate([batch["tar_lbl"], rec_img], axis=-1)
