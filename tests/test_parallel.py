@@ -244,3 +244,53 @@ def test_dp_clip_inference_fused_mean_shardmap_matches_single_device():
     got = run(params, *args)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-2)
+
+
+def test_dp_train_step_bwd_precision_matches_single_device():
+    """The dual-precision backward (ops/dpconv custom_vjp) composes with
+    the DP mesh: one sharded train step at bwd_precision='default' ==
+    the plain single-device step at the same tier. On CPU every tier
+    computes in f32, so this checks the custom-VJP graph survives pjit
+    partitioning (collectives around the two backward convs), not
+    rounding."""
+    import dataclasses
+    import warnings
+
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.parallel import make_parallel_train_step
+    from wacv23_tsnet_tpu.parallel.spmd import shard_batch, shard_state
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = dataclasses.replace(toy_config(), precision="high",
+                              bwd_precision="default")
+    mods = TSNetModules(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(0), vgg_params=vgg)
+    bs, s, hw, l = 8, cfg.n_source, cfg.image_size, cfg.label_nc
+    batch = {
+        "src_img": RNG.random((bs, s, hw, hw, 3)).astype(np.float32),
+        "src_lbl": RNG.integers(0, 2, (bs, s, hw, hw, l)).astype(np.float32),
+        "src_bbox": RNG.integers(0, 2, (bs, s, hw, hw)).astype(np.float32),
+        "tar_img": RNG.random((bs, hw, hw, 3)).astype(np.float32),
+        "tar_lbl": RNG.integers(0, 2, (bs, hw, hw, l)).astype(np.float32),
+        "tar_bbox": RNG.integers(0, 2, (bs, hw, hw)).astype(np.float32),
+    }
+    lr = jnp.float32(2e-4)
+
+    single = make_train_step(mods, use_pallas=False, donate=False)
+    _, want_metrics, want_rec = single(state, batch, lr)
+
+    mesh = make_mesh(8, model_parallel=1)
+    pstep = make_parallel_train_step(mods, mesh, spatial_parallel=False,
+                                     use_pallas=False, donate=False)
+    sstate = shard_state(state, mesh, tensor_parallel=False)
+    sbatch = shard_batch(batch, mesh)
+    _, got_metrics, got_rec = pstep(sstate, sbatch, lr)
+
+    for k in want_metrics:
+        assert abs(float(want_metrics[k]) - float(got_metrics[k])) < 5e-3, k
+    np.testing.assert_allclose(np.asarray(got_rec), np.asarray(want_rec),
+                               atol=5e-3)
