@@ -138,9 +138,14 @@ def measure_train_step() -> float:
 
     # precision="high" is the tier the sustained training runs use
     # (artifacts/round2: stable GAN dynamics, ~40% faster than the
-    # "highest" bit-parity tier, which remains available via the CLI)
+    # "highest" bit-parity tier, which remains available via the CLI).
+    # bwd_precision="default" runs the backward convs at one bf16 pass
+    # instead of three (ops/dpconv.py): full-generator gradient cosine
+    # 0.99947 vs the 3-pass backward, and a matched-seed 500-step A/B
+    # tracks every loss within ~2% (artifacts/round4/bwd_ab/).
     import dataclasses
-    cfg = dataclasses.replace(face_config(), precision="high")
+    cfg = dataclasses.replace(face_config(), precision="high",
+                              bwd_precision="default")
     mods = TSNetModules(cfg)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -409,7 +414,9 @@ def main():
         "clip_frames": CLIP_FRAMES,
         "train_ms_per_step": train_ms,
         "train_config": "bs=15, 256^2, face, single jitted D+G step, "
-                        "precision=high (the sustained-run tier)",
+                        "precision=high + bwd_precision=default (the "
+                        "sustained-run tier; convergence A/B in "
+                        "artifacts/round4/bwd_ab)",
         "pose_fps": pose_fps,
         "pose_train_ms_per_step": pose_train_ms,
         "pose_config": "256^2, label_nc=25, n_source=3, netDF + fg-mask; "
