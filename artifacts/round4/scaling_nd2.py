@@ -124,6 +124,54 @@ def time_train(tag, use_pallas):
 time_train("pallas_flash", True)
 time_train("einsum_vjp", False)
 
+
+def time_branch(tag, use_pallas):
+    """The transformation branch ALONE (fwd + all-cotangent bwd) at the
+    nd=2 shape — isolates the quadratic part from the trunk convs that
+    dominate the full step at this config."""
+    from wacv23_tsnet_tpu.ops.similarity import transformation_warp_sources
+
+    t_hw, c, ns, bs = cfg.feat_size, cfg.feat_ch, N_SOURCE, 2
+    r = np.random.default_rng(1)
+    sf = jnp.asarray(r.standard_normal((bs, ns, t_hw, t_hw, c)), jnp.float32)
+    sn = sf / jnp.linalg.norm(sf, axis=-1, keepdims=True)
+    tf = jnp.asarray(r.standard_normal((bs, t_hw, t_hw, c)), jnp.float32)
+    tf = tf / jnp.linalg.norm(tf, axis=-1, keepdims=True)
+    tm = jnp.asarray(r.integers(0, 2, (bs, t_hw, t_hw)).astype(np.float32))
+    sm = jnp.asarray(r.integers(0, 2, (bs, ns, t_hw, t_hw)).astype(np.float32))
+
+    def loss(sf_, tf_):
+        warped, flow = transformation_warp_sources(
+            sf_, tf_, sn, tm, sm, use_pallas=use_pallas,
+            bwd_fast3=use_pallas)
+        return jnp.sum(jnp.abs(warped)) + jnp.sum(flow)
+
+    fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    try:
+        t0 = time.perf_counter()
+        v, g = fn(sf, tf)
+        float(v)
+        print(f"[branch/{tag}] compile+first: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            v, g = fn(sf, tf)
+        float(v)
+        ms = (time.perf_counter() - t0) / iters * 1e3
+        print(f"[branch/{tag}] fwd+bwd {ms:.1f} ms "
+              f"({bs}x{ns} pairs, {t_hw}^2 x {c})", flush=True)
+        results[f"branch_{tag}"] = {"ms_fwd_bwd": round(ms, 1),
+                                    "pairs": bs * ns}
+    except Exception as e:                                # noqa: BLE001
+        msg = str(e).split("\n")[0][:300]
+        print(f"[branch/{tag}] FAILED: {msg}", flush=True)
+        results[f"branch_{tag}"] = {"error": msg}
+
+
+time_branch("pallas", True)
+time_branch("einsum", False)
+
 results["config"] = {"n_downsampling": 2, "feat_size": cfg.feat_size,
                      "feat_ch": cfg.feat_ch,
                      "attention": f"{cfg.feat_size**2}x{cfg.feat_size**2}",

@@ -278,3 +278,35 @@ def test_pallas_pairs_mean_matches_composition():
     assert fused_bf.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(fused_bf, np.float32),
                                np.asarray(ref), atol=0.05)
+
+
+def test_pallas_pairs_mean_bigt_matches_small_kernel(monkeypatch):
+    """The big-T mean kernel (sources on the kernel grid, fp32 scratch
+    accumulator — used past 32^2 feature grids where the all-resident
+    kernel overflows scoped VMEM) computes the same folded mean. Forced
+    here at a small size by zeroing the resident budget."""
+    from wacv23_tsnet_tpu.ops import pallas_similarity as ps
+    from wacv23_tsnet_tpu.ops.similarity import (
+        transformation_warp_clip, transformation_warp_clip_mean)
+
+    s, f, h, w, c = 3, 2, 16, 16, 32          # t = 256, tiles cleanly
+    src = jnp.asarray(RNG.standard_normal((s, h, w, c), dtype=np.float32))
+    src_n = ops.l2_normalize(src)
+    sm = jnp.asarray((RNG.random((s, h, w)) > 0.5).astype(np.float32))
+    tar = jnp.asarray(RNG.standard_normal((f, h, w, c), dtype=np.float32))
+    tar_n = ops.l2_normalize(tar)
+    tm = jnp.asarray((RNG.random((f, h, w)) > 0.5).astype(np.float32))
+
+    ref = jnp.mean(transformation_warp_clip(
+        src, src_n, sm, tar_n, tm, use_pallas=False), axis=0)
+
+    monkeypatch.setattr(ps, "MEAN_KERNEL_RESIDENT_BUDGET", 0)
+    bigt = transformation_warp_clip_mean(src, src_n, sm, tar_n, tm)
+    np.testing.assert_allclose(np.asarray(bigt), np.asarray(ref), atol=1e-4)
+
+    # fast3 variant (bf16x3 logits + split p@grid) under the big-T path
+    bigt_bf = transformation_warp_clip_mean(
+        src, src_n, sm, tar_n, tm, fast_warp=True, out_dtype=jnp.bfloat16)
+    assert bigt_bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(bigt_bf, np.float32),
+                               np.asarray(ref), atol=0.05)

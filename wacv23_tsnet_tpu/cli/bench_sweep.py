@@ -1,8 +1,9 @@
 """Benchmark sweep: the BASELINE.json config grid on one chip.
 
-Covers "multi-source sweep: n_source=1/3/5" and chunk scaling for the
-streaming-inference config. Prints a table to stderr and one JSON line
-per config to stdout.
+Covers BASELINE.json configs 3-4: "multi-source sweep: n_source=1/3/5"
+and chunk scaling (frames per device batch) for the streaming-inference
+config. Prints a table to stderr and one JSON line per config to
+stdout.
 
     python -m wacv23_tsnet_tpu.cli.bench_sweep
 """
@@ -68,7 +69,19 @@ def main(argv=None):
             "metric": f"streaming inference n_source={n_source}, 256x256",
             "value": round(fps, 2),
             "unit": "frames/sec/chip",
-        }))
+        }), flush=True)
+    # chunk scaling (BASELINE config 4: whole driving clip batched on
+    # device) — how fps moves with frames per device batch at the
+    # shipped n_source=3
+    for frames in (8, 16, 32, 64, 128):
+        fps = measure(cfg, 3, frames)
+        print(f"{3:>8} {frames:>6} {fps:>9.1f}", file=sys.stderr)
+        print(json.dumps({
+            "metric": f"streaming inference chunk={frames}, n_source=3, "
+                      "256x256",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+        }), flush=True)
 
 
 if __name__ == "__main__":

@@ -124,12 +124,12 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
 
         ctx = _BATCH_MESH.get()
         if ctx is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             mesh, axis = ctx
             run_blocks = shard_map(run_blocks, mesh=mesh,
                                    in_specs=(P(axis),),
-                                   out_specs=P(axis), check_rep=False)
+                                   out_specs=P(axis), check_vma=False)
         x = run_blocks(x)
     else:
         for j in range(dec.n_blocks):

@@ -128,13 +128,13 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
 
         ctx = _BATCH_MESH.get()
         if ctx is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             mesh, axis = ctx
             pair_conv = shard_map(pair_conv, mesh=mesh,
                                   in_specs=(P(None), P(axis)),
                                   out_specs=P(None, axis),
-                                  check_rep=False)
+                                  check_vma=False)
         h2 = pair_conv(c1a, c1t)
     else:
         hp = (c1a[:, None] + c1t[None]).reshape(s * f, h, w, 2 * c)

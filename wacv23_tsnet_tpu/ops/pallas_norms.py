@@ -151,13 +151,13 @@ def instance_norm_mean(x: jnp.ndarray, eps: float = 1e-5,
     from .similarity import _BATCH_MESH
     batch_mesh = _BATCH_MESH.get()
     if batch_mesh is not None:
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         mesh, axis = batch_mesh
         call = shard_map(call, mesh=mesh,
                          in_specs=P(None, axis),
                          out_specs=P(axis),
-                         check_rep=False)
+                         check_vma=False)
     return call(x)
 
 

@@ -94,6 +94,8 @@ def _flow_pallas(tar_fea, src_fea, mt_col, ms_row, grid_padded, temp):
             bytes_accessed=4 * b * (t * c + s * c + t * _LANES),
             transcendentals=b * t * s,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(tar_fea, src_fea, mt_col, ms_row, grid_padded)
 
@@ -287,6 +289,10 @@ def _pairs_pallas(src_fea, tar_fea_n, src_fea_n, mt, ms, grid_padded,
                                 + g * ns * nf * t * c),
             transcendentals=g * ns * nf * t * t,
         ),
+        # the 16 MB default scoped-VMEM rejects the shipped-plus shapes
+        # (n_downsampling=2: 4096-pixel grids); the chip has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(tar_fea_n, src_fea_n, mt, ms, grid_padded, src_fea)
     return outs if with_flow else (outs[0],)
@@ -388,6 +394,66 @@ def _dot_nt(a, b, precision):
         preferred_element_type=jnp.float32, precision=precision)
 
 
+def _mean_source_contrib(tt, tt_split, mt, fea, ms, grid_ref, sx, sy,
+                         *, temp, h, w, warp_prec, fast3):
+    """One source's contribution to the folded-mean warp of a target tile:
+    logits -> masked temp-softmax -> flow -> dense-tent warp, all in VMEM.
+    Shared by `_mean_kernel` (sources looped in-kernel) and
+    `_mean_bigt_kernel` (sources on the kernel grid)."""
+    # F.normalize semantics: x / max(||x||_2, eps)
+    norm = jnp.sqrt(jnp.sum(jnp.square(fea), axis=-1, keepdims=True))
+    ss = fea / jnp.maximum(norm, 1e-12)
+    if fast3:
+        # hand-rolled bf16x3 (~= Precision.HIGH, which Mosaic cannot
+        # lower itself): 3 single-pass MXU products instead of
+        # HIGHEST's 6; the dropped lo@lo term is O(2^-18) relative.
+        # The einsum path at HIGH measures 1.2e-3 mean L1 end to
+        # end — inside the fast path's 0.01 budget.
+        tt_hi, tt_lo = tt_split
+        ss_hi, ss_lo = _split_bf16(ss)
+        one = jax.lax.Precision.DEFAULT
+        logits = (_dot_nt(tt_hi, ss_hi, one)
+                  + (_dot_nt(tt_hi, ss_lo, one)
+                     + _dot_nt(tt_lo, ss_hi, one)))
+    else:
+        logits = _dot_nt(tt, ss, jax.lax.Precision.HIGHEST)
+    coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
+    z = temp * (logits * coeff)
+    z = z - jnp.max(z, axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    if fast3:
+        # p @ grid in THREE bf16 passes with both operands hi/lo
+        # split (grid entries -1 + 2i/31 are NOT binary fractions —
+        # a plain bf16 grid cast moves sample positions ~0.4% and
+        # blew the 0.01 end-to-end budget, measured 0.0129). The
+        # dropped lo@lo term is O(2^-18) relative.
+        p_hi, p_lo = _split_bf16(p)
+        g_hi, g_lo = _split_bf16(grid_ref[:].astype(jnp.float32))
+        dot = lambda a, g_: jax.lax.dot_general(
+            a, g_, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+        flow = (dot(p_hi, g_hi)
+                + (dot(p_hi, g_lo) + dot(p_lo, g_hi)))
+    else:
+        flow = jax.lax.dot_general(
+            p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                          # (TILE_T, LANES)
+    ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
+    iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
+    return jax.lax.dot_general(
+        wx * wy, fea,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=warp_prec,
+    )
+
+
 def _mean_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
                  *, temp, h, w, ns, warp_prec, fast3):
     """Per-tile transformation branch with the mean over sources folded
@@ -402,66 +468,17 @@ def _mean_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
     the 16 MB scoped-VMEM limit (a separate normalized block OOMs)."""
     tt = t_ref[0, 0].astype(jnp.float32)           # (TILE_T, C)
     mt = mt_ref[0, 0].astype(jnp.float32)          # (TILE_T, 1)
-    if fast3:
-        tt_hi, tt_lo = _split_bf16(tt)
+    tt_split = _split_bf16(tt) if fast3 else None
     s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
     sx = (s_ids % w).astype(jnp.float32)
     sy = (s_ids // w).astype(jnp.float32)
     acc = jnp.zeros(out_ref.shape[-2:], jnp.float32)
     for s in range(ns):
         fea = fea_ref[0, s].astype(jnp.float32)    # (T, C) un-normalized
-        # F.normalize semantics: x / max(||x||_2, eps)
-        norm = jnp.sqrt(jnp.sum(jnp.square(fea), axis=-1, keepdims=True))
-        ss = fea / jnp.maximum(norm, 1e-12)
-        if fast3:
-            # hand-rolled bf16x3 (~= Precision.HIGH, which Mosaic cannot
-            # lower itself): 3 single-pass MXU products instead of
-            # HIGHEST's 6; the dropped lo@lo term is O(2^-18) relative.
-            # The einsum path at HIGH measures 1.2e-3 mean L1 end to
-            # end — inside the fast path's 0.01 budget.
-            ss_hi, ss_lo = _split_bf16(ss)
-            one = jax.lax.Precision.DEFAULT
-            logits = (_dot_nt(tt_hi, ss_hi, one)
-                      + (_dot_nt(tt_hi, ss_lo, one)
-                         + _dot_nt(tt_lo, ss_hi, one)))
-        else:
-            logits = _dot_nt(tt, ss, jax.lax.Precision.HIGHEST)
         ms = ms_ref[0, s].astype(jnp.float32)      # (1, T)
-        coeff = mt * ms + (1.0 - mt) * (1.0 - ms)
-        z = temp * (logits * coeff)
-        z = z - jnp.max(z, axis=-1, keepdims=True)
-        p = jnp.exp(z)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        if fast3:
-            # p @ grid in THREE bf16 passes with both operands hi/lo
-            # split (grid entries -1 + 2i/31 are NOT binary fractions —
-            # a plain bf16 grid cast moves sample positions ~0.4% and
-            # blew the 0.01 end-to-end budget, measured 0.0129). The
-            # dropped lo@lo term is O(2^-18) relative.
-            p_hi, p_lo = _split_bf16(p)
-            g_hi, g_lo = _split_bf16(grid_ref[:].astype(jnp.float32))
-            dot = lambda a, g_: jax.lax.dot_general(
-                a, g_, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT)
-            flow = (dot(p_hi, g_hi)
-                    + (dot(p_hi, g_lo) + dot(p_lo, g_hi)))
-        else:
-            flow = jax.lax.dot_general(
-                p, grid_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )                                      # (TILE_T, LANES)
-        ix = (flow[:, 0:1] + 1.0) * (w * 0.5) - 0.5
-        iy = (flow[:, 1:2] + 1.0) * (h * 0.5) - 0.5
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx - ix))
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy - iy))
-        acc = acc + jax.lax.dot_general(
-            wx * wy, fea_ref[0, s].astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=warp_prec,
-        )
+        acc = acc + _mean_source_contrib(
+            tt, tt_split, mt, fea, ms, grid_ref, sx, sy, temp=temp,
+            h=h, w=w, warp_prec=warp_prec, fast3=fast3)
     out_ref[0, 0] = (acc / ns).astype(out_ref.dtype)
 
 
@@ -504,8 +521,106 @@ def _pairs_mean_pallas(src_fea, tar_fea_n, mt, ms, grid_padded,
                             + g * nf * t * c * out_dtype.itemsize),
             transcendentals=g * ns * nf * t * t,
         ),
+        # the 16 MB default scoped-VMEM rejects the shipped-plus shapes
+        # (n_downsampling=2: 4096-pixel grids); the chip has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(tar_fea_n, mt, ms, grid_padded, src_fea)
+
+
+def _mean_bigt_kernel(t_ref, mt_ref, ms_ref, grid_ref, fea_ref, out_ref,
+                      acc_ref, *, temp, h, w, ns, warp_prec, fast3):
+    """`_mean_kernel` for feature grids past 32^2 (VERDICT r3 item 6
+    scale: n_downsampling=2 -> 64^2 = 4096 target pixels). There the
+    small kernel's all-sources-resident block (NS x T x C fp32, 12.6 MB
+    at 4096x256 x3 sources) plus the 2 MB lane-padded grid and the 2 MB
+    logits tile overflows the 16 MB scoped VMEM and Mosaic refuses to
+    compile. This variant puts the source axis on the kernel grid
+    (innermost, so the output tile stays resident) and accumulates the
+    mean in an fp32 VMEM scratch: only ONE source's features are ever
+    resident (4 MB), and the per-pair tensor still never reaches HBM."""
+    si = pl.program_id(3)
+    tt = t_ref[0, 0].astype(jnp.float32)           # (TILE_T, C)
+    mt = mt_ref[0, 0].astype(jnp.float32)          # (TILE_T, 1)
+    tt_split = _split_bf16(tt) if fast3 else None
+    s_ids = jax.lax.broadcasted_iota(jnp.int32, (1, h * w), 1)
+    sx = (s_ids % w).astype(jnp.float32)
+    sy = (s_ids // w).astype(jnp.float32)
+    fea = fea_ref[0, 0].astype(jnp.float32)        # (T, C) un-normalized
+    ms = ms_ref[0, 0].astype(jnp.float32)          # (1, T)
+    contrib = _mean_source_contrib(
+        tt, tt_split, mt, fea, ms, grid_ref, sx, sy, temp=temp,
+        h=h, w=w, warp_prec=warp_prec, fast3=fast3)
+
+    @pl.when(si == 0)
+    def _init():
+        acc_ref[...] = contrib
+
+    @pl.when(si > 0)
+    def _accum():
+        acc_ref[...] = acc_ref[...] + contrib
+
+    @pl.when(si == ns - 1)
+    def _emit():
+        out_ref[0, 0] = (acc_ref[...] / ns).astype(out_ref.dtype)
+
+
+def _pairs_mean_bigt_pallas(src_fea, tar_fea_n, mt, ms, grid_padded,
+                            temp, h, w, warp_prec, out_dtype):
+    g, ns, t, c = src_fea.shape
+    nf = tar_fea_n.shape[1]
+    tile_t = min(128, t)
+    kernel = functools.partial(
+        _mean_bigt_kernel, temp=temp, h=h, w=w, ns=ns, warp_prec=warp_prec,
+        fast3=warp_prec == jax.lax.Precision.DEFAULT)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((g, nf, t, c), out_dtype),
+        # sources innermost: the (gi, fi, ti) output tile and scratch
+        # accumulator stay resident across the si steps
+        grid=(g, nf, t // tile_t, ns),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile_t, c),
+                         lambda gi, fi, ti, si: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_t, 1),
+                         lambda gi, fi, ti, si: (gi, fi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, t),
+                         lambda gi, fi, ti, si: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((t, _LANES), lambda gi, fi, ti, si: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t, c),
+                         lambda gi, fi, ti, si: (gi, si, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tile_t, c),
+                               lambda gi, fi, ti, si: (gi, fi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((tile_t, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * ns * nf * t * t * (2 * c + _LANES),
+            # source blocks re-fetch once per (frame, target-tile) step —
+            # the price of fitting VMEM at large T
+            bytes_accessed=(4 * g * ns * t * c * nf * (t // tile_t)
+                            + 4 * g * nf * t * c
+                            + g * nf * t * c * out_dtype.itemsize),
+            transcendentals=g * ns * nf * t * t,
+        ),
+        # the 16 MB default scoped-VMEM rejects the shipped-plus shapes
+        # (n_downsampling=2: 4096-pixel grids); the chip has headroom
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(tar_fea_n, mt, ms, grid_padded, src_fea)
+
+
+# resident VMEM budget (bytes) above which transform_warp_pairs_mean
+# switches from the all-sources-resident kernel to the big-T grid
+# variant; module-level so tests can force the big-T path at small sizes
+MEAN_KERNEL_RESIDENT_BUDGET = 10 * 2 ** 20
 
 
 def transform_warp_pairs_mean(src_fea, tar_fea_n, src_fea_n, tar_mask,
@@ -533,7 +648,13 @@ def transform_warp_pairs_mean(src_fea, tar_fea_n, src_fea_n, tar_mask,
     warp_prec = (jax.lax.Precision.DEFAULT if fast_warp
                  else jax.lax.Precision.HIGHEST)
     del src_fea_n  # recomputed in-kernel from src_fea (see _mean_kernel)
-    return _pairs_mean_pallas(
+    # all-sources-resident kernel only while its resident blocks fit
+    # scoped VMEM (shipped 32^2x512 x3 sources: ~6.8 MB); past that
+    # (e.g. n_downsampling=2 -> 64^2) sources move onto the kernel grid
+    resident = (ns * t * c + t * _LANES) * 4
+    call = (_pairs_mean_pallas if resident <= MEAN_KERNEL_RESIDENT_BUDGET
+            else _pairs_mean_bigt_pallas)
+    return call(
         src_fea.astype(jnp.float32), tar_fea_n.astype(jnp.float32),
         tar_mask.astype(jnp.float32).reshape(g, nf, t, 1),
         src_mask.astype(jnp.float32).reshape(g, ns, 1, t),

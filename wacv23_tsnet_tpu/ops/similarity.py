@@ -211,14 +211,14 @@ def transformation_warp_sources(
 
         ctx = _BATCH_MESH.get()
         if ctx is not None:
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             mesh, axis = ctx
             call = shard_map(call, mesh=mesh,
                              in_specs=(P(axis), P(axis), P(axis),
                                        P(axis), P(axis)),
                              out_specs=(P(axis), P(axis)),
-                             check_rep=False)
+                             check_vma=False)
         warped, flow = call(
             src_img_fea.reshape(b, s, t, c),
             tar_fea_n.reshape(b, 1, t, c),
@@ -267,14 +267,14 @@ def transformation_warp_clip_mean(
     ctx = _BATCH_MESH.get()
     if ctx is not None:
         # driving frames shard over the data axis; sources replicate
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         mesh, axis = ctx
         call = shard_map(call, mesh=mesh,
                          in_specs=(P(), P(None, axis), P(),
                                    P(None, axis), P()),
                          out_specs=P(None, axis),
-                         check_rep=False)
+                         check_vma=False)
     out = call(
         src_fea.reshape(1, s, t, c),
         tar_fea_n.reshape(1, f, t, c),
@@ -316,14 +316,14 @@ def transformation_warp_clip(
         ctx = _BATCH_MESH.get()
         if ctx is not None:
             # driving frames shard over the data axis; sources replicate
-            from jax.experimental.shard_map import shard_map
+            from jax import shard_map
             from jax.sharding import PartitionSpec as P
             mesh, axis = ctx
             call = shard_map(call, mesh=mesh,
                              in_specs=(P(), P(None, axis), P(),
                                        P(None, axis), P()),
                              out_specs=P(None, None, axis),
-                             check_rep=False)
+                             check_vma=False)
         warped = call(
             src_fea.reshape(1, s, t, c),
             tar_fea_n.reshape(1, f, t, c),
