@@ -69,7 +69,8 @@ def profile_train(args) -> None:
     from ..train.state import create_train_state
     from ..train.step import make_train_step
 
-    cfg = dataclasses.replace(face_config(), precision=args.precision)
+    cfg = dataclasses.replace(face_config(), precision=args.precision,
+                              bwd_precision=args.bwd_precision)
     mods = TSNetModules(cfg)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -88,7 +89,8 @@ def profile_train(args) -> None:
         "tar_bbox": rng.integers(0, 2, (bs, hw, hw)).astype(np.float32),
     }.items()}
     print(f"device={jax.devices()[0]} TRAIN bs={bs} {hw}^2 "
-          f"precision={cfg.precision}", flush=True)
+          f"precision={cfg.precision} bwd_precision={cfg.bwd_precision}",
+          flush=True)
 
     def gen_fwd(p_, b_, eps):
         out = tsnet_forward(
@@ -155,6 +157,9 @@ def main() -> None:
     p.add_argument("--train", action="store_true",
                    help="profile the TRAIN step stages instead")
     p.add_argument("--batch-size", type=int, default=15)
+    p.add_argument("--bwd-precision", default=None,
+                   help="backward-conv MXU tier (train profile); "
+                        "'default' matches the benched dual-precision tier")
     args = p.parse_args()
     if args.train:
         profile_train(args)
@@ -180,9 +185,10 @@ def main() -> None:
             params, src_img, src_lbl, src_bbox)
     dt = mods.dtype
 
-    from ..nn.encoder import encoder_apply_fast
-    run_lbl = lambda p_, x, eps: encoder_apply_fast(
-        mods.lbl_enc, p_["lbl_enc"], x.astype(dt) + eps)
+    # plain module stem, matching decode_with_sources (the folded-stem
+    # rewrite was reverted for the clip path by the round-4 bisect)
+    run_lbl = lambda p_, x, eps: mods.lbl_enc.apply(
+        {"params": p_["lbl_enc"]}, x.astype(dt) + eps)
     tar_fea = jax.jit(lambda p_, x: run_lbl(p_, x, 0.0))(params, tar_lbl)
     h, w = tar_fea.shape[1:3]
     tar_fea_n = l2_normalize(tar_fea.astype(jnp.float32), axis=-1)
@@ -223,7 +229,9 @@ def main() -> None:
                    lambda p_, pf, sf, eps: decoder_apply_fast(
                        mods.dec, p_["dec"], pf + eps.astype(pf.dtype), sf,
                        return_fea=False,
-                       use_pallas_blocks=dec_dt == jnp.bfloat16)[0],
+                       # False matches decode_with_sources (round-4 bisect:
+                       # the Pallas resblocks lose end-to-end at this shape)
+                       use_pallas_blocks=False)[0],
                    (params, prop_fea, syn_fea))
     print(f"  {'SUM of stages':<28s} {total:8.1f} ms/clip "
           f"({f / total * 1e3:.1f} fps equivalent)")
