@@ -97,7 +97,16 @@ for tag, ft in TIERS:
         return jnp.mean(jnp.abs(out["rec_img"] - batch["tar_img"])) \
             + 1e-3 * out["loss_warp"]
 
-    g = jax.jit(jax.grad(loss))(params)
+    gfn = jax.jit(jax.grad(loss))
+    try:
+        g = gfn(params)
+    except jax.errors.JaxRuntimeError as e:
+        # same XLA:TPU SpaceToBatchConverter CHECK-crash train/step.py
+        # works around (see make_train_step); disable the pass and retry
+        if "SIGABRT" not in str(e) and "space_to_batch" not in str(e):
+            raise
+        g = gfn.lower(params).compile(compiler_options={
+            "xla_disable_hlo_passes": "space-to-batch-converter"})(params)
     grads[tag] = jax.tree.map(lambda t: np.asarray(t, np.float32), g)
     del mods, params, batch, g
 
