@@ -143,9 +143,18 @@ def measure_train_step() -> float:
     # instead of three (ops/dpconv.py): full-generator gradient cosine
     # 0.99947 vs the 3-pass backward, and a matched-seed 500-step A/B
     # tracks every loss within ~2% (artifacts/round4/bwd_ab/).
+    # fast_tail=True additionally runs the decoder + FuseNet in
+    # bf16/default-MXU during training (the shipped inference fast tier;
+    # everything upstream of the attention, the warp supervision, and
+    # the losses stay f32): full-generator gradient cosine 0.9937 at
+    # this exact scale (artifacts/round4/fast_tail_train.json) and a
+    # matched-seed 500-step A/B with healthy parallel GAN trajectories
+    # (artifacts/round4/ft_ab/). Both knobs are CLI-exposed
+    # (--bwd-precision, --fast-tail); the uniform-f32 "high" tier
+    # remains the conservative default of the trainers.
     import dataclasses
     cfg = dataclasses.replace(face_config(), precision="high",
-                              bwd_precision="default")
+                              bwd_precision="default", fast_tail=True)
     mods = TSNetModules(cfg)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -414,9 +423,9 @@ def main():
         "clip_frames": CLIP_FRAMES,
         "train_ms_per_step": train_ms,
         "train_config": "bs=15, 256^2, face, single jitted D+G step, "
-                        "precision=high + bwd_precision=default (the "
-                        "sustained-run tier; convergence A/B in "
-                        "artifacts/round4/bwd_ab)",
+                        "precision=high + bwd_precision=default + "
+                        "fast_tail (the sustained-run tier; convergence "
+                        "A/Bs in artifacts/round4/{bwd_ab,ft_ab})",
         "pose_fps": pose_fps,
         "pose_train_ms_per_step": pose_train_ms,
         "pose_config": "256^2, label_nc=25, n_source=3, netDF + fg-mask; "

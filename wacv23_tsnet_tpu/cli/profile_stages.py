@@ -70,7 +70,8 @@ def profile_train(args) -> None:
     from ..train.step import make_train_step
 
     cfg = dataclasses.replace(face_config(), precision=args.precision,
-                              bwd_precision=args.bwd_precision)
+                              bwd_precision=args.bwd_precision,
+                              fast_tail=not args.no_fast_tail)
     mods = TSNetModules(cfg)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -89,8 +90,8 @@ def profile_train(args) -> None:
         "tar_bbox": rng.integers(0, 2, (bs, hw, hw)).astype(np.float32),
     }.items()}
     print(f"device={jax.devices()[0]} TRAIN bs={bs} {hw}^2 "
-          f"precision={cfg.precision} bwd_precision={cfg.bwd_precision}",
-          flush=True)
+          f"precision={cfg.precision} bwd_precision={cfg.bwd_precision} "
+          f"fast_tail={cfg.fast_tail}", flush=True)
 
     def gen_fwd(p_, b_, eps):
         out = tsnet_forward(
@@ -135,16 +136,20 @@ def profile_train(args) -> None:
     timed("VGG loss fwd+bwd", vgg_fwd_bwd,
           (state.vgg_params, rec, batch["tar_img"]), repeats=4)
 
-    step = make_train_step(mods, donate=False)
+    # donate=True matches the shipped trainer (models/api.py) and
+    # bench.py — without donation XLA copies params + Adam moments every
+    # step, which inflated this line by ~200 ms vs the bench number.
+    step = make_train_step(mods, donate=True)
     lr = jnp.float32(2e-4)
-    step(state, batch, lr)  # compile
+    state, m, r = step(state, batch, lr)  # compile
+    jax.block_until_ready(r)
     t0 = time.perf_counter()
     iters = 3
     for _ in range(iters):
-        _, m, r = step(state, batch, lr)
+        state, m, r = step(state, batch, lr)
     jax.block_until_ready(r)
     print(f"  {'FULL jitted D+G step':<28s} "
-          f"{(time.perf_counter() - t0) / iters * 1e3:8.1f} ms")
+          f"{(time.perf_counter() - t0) / iters * 1e3:8.1f} ms (donated)")
 
 
 def main() -> None:

@@ -52,6 +52,11 @@ def main(argv=None):
                    help="MXU precision of the backward convs only "
                         "(default: same as --precision; 'default' = one "
                         "bf16 pass, see ops/dpconv.py)")
+    p.add_argument("--fast-tail", action="store_true",
+                   help="run the decoder + FuseNet in bf16/default-MXU "
+                        "(the inference fast tier) during training too; "
+                        "encoders, similarity branch, warp supervision "
+                        "and losses stay f32 (see configs/base.py)")
     p.add_argument("--random-seed", type=int, default=1234)
     p.add_argument("--restore-from", default="")
     p.add_argument("--set-start", action="store_true")
@@ -76,6 +81,7 @@ def main(argv=None):
                               n_downsampling=args.n_downsampling,
                               precision=args.precision,
                               bwd_precision=args.bwd_precision,
+                              fast_tail=args.fast_tail,
                               **overrides)
     tcfg = TrainConfig(batch_size=args.batch_size, lr=args.learning_rate,
                        lambda_dec=args.lambda_dec,

@@ -57,6 +57,11 @@ def main(argv=None):
                    help="MXU precision of the backward convs only "
                         "(default: same as --precision; 'default' = one "
                         "bf16 pass, see ops/dpconv.py)")
+    p.add_argument("--fast-tail", action="store_true",
+                   help="run the decoder + FuseNet in bf16/default-MXU "
+                        "(the inference fast tier) during training too; "
+                        "encoders, similarity branch, warp supervision "
+                        "and losses stay f32 (see configs/base.py)")
     p.add_argument("--random-seed", type=int, default=1234)
     p.add_argument("--restore-from", default="")
     p.add_argument("--set-start", action="store_true")
@@ -74,7 +79,8 @@ def main(argv=None):
                               dec_n_blocks=args.n_blocks,
                               n_downsampling=args.n_downsampling,
                               label_nc=label_nc, precision=args.precision,
-                              bwd_precision=args.bwd_precision)
+                              bwd_precision=args.bwd_precision,
+                              fast_tail=args.fast_tail)
     tcfg = TrainConfig(batch_size=args.batch_size, lr=args.learning_rate,
                        lambda_dec=args.lambda_dec,
                        initial_epoch=args.initial_epoch,
