@@ -31,10 +31,22 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 TOL = 0.03
 
 
+# gated metrics: (bench-JSON key, direction, label). Pose entered the
+# bench JSON at r04; rounds without a key simply don't contribute a bar,
+# so adding metrics never invalidates old BENCH files.
+GATED = [
+    ("value", "max", "inference fps"),
+    ("train_ms_per_step", "min", "train ms/step"),
+    ("pose_fps", "max", "pose inference fps"),
+    ("pose_train_ms_per_step", "min", "pose train ms/step"),
+]
+
+
 def prior_best() -> dict:
-    """Best fps and best (lowest) train ms across committed BENCH_r*.json."""
-    best = {"fps": None, "fps_round": None,
-            "train_ms": None, "train_ms_round": None}
+    """Best value per gated metric across committed BENCH_r*.json
+    (max fps / min train ms across rounds, so a transiently bad round
+    can't lower the bar)."""
+    best = {key: (None, None) for key, _, _ in GATED}
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
         try:
             with open(path) as f:
@@ -43,14 +55,15 @@ def prior_best() -> dict:
             continue
         parsed = rec.get("parsed") or {}
         rnd = os.path.basename(path)
-        fps = parsed.get("value")
-        if isinstance(fps, (int, float)) and (
-                best["fps"] is None or fps > best["fps"]):
-            best["fps"], best["fps_round"] = float(fps), rnd
-        tms = parsed.get("train_ms_per_step")
-        if isinstance(tms, (int, float)) and (
-                best["train_ms"] is None or tms < best["train_ms"]):
-            best["train_ms"], best["train_ms_round"] = float(tms), rnd
+        for key, direction, _ in GATED:
+            val = parsed.get(key)
+            if not isinstance(val, (int, float)):
+                continue
+            cur = best[key][0]
+            better = (cur is None or
+                      (val > cur if direction == "max" else val < cur))
+            if better:
+                best[key] = (float(val), rnd)
     return best
 
 
@@ -107,24 +120,26 @@ def main() -> int:
         rec = extract_record(out.stdout)
 
     best = prior_best()
-    fps, tms = rec.get("value"), rec.get("train_ms_per_step")
     failures = []
-    if best["fps"] is not None and isinstance(fps, (int, float)):
-        floor = best["fps"] * (1 - args.tolerance)
-        verdict = "OK" if fps >= floor else "REGRESSION"
-        print(f"bench_gate: inference {fps:.1f} fps vs prior best "
-              f"{best['fps']:.1f} ({best['fps_round']}), floor "
-              f"{floor:.1f} -> {verdict}")
-        if fps < floor:
-            failures.append("inference fps")
-    if best["train_ms"] is not None and isinstance(tms, (int, float)):
-        ceil = best["train_ms"] * (1 + args.tolerance)
-        verdict = "OK" if tms <= ceil else "REGRESSION"
-        print(f"bench_gate: train {tms:.1f} ms/step vs prior best "
-              f"{best['train_ms']:.1f} ({best['train_ms_round']}), ceiling "
-              f"{ceil:.1f} -> {verdict}")
-        if tms > ceil:
-            failures.append("train ms/step")
+    for key, direction, label in GATED:
+        prior, prior_round = best[key]
+        val = rec.get(key)
+        if prior is None or not isinstance(val, (int, float)):
+            continue
+        if direction == "max":
+            bar = prior * (1 - args.tolerance)
+            ok = val >= bar
+            bar_name = "floor"
+        else:
+            bar = prior * (1 + args.tolerance)
+            ok = val <= bar
+            bar_name = "ceiling"
+        verdict = "OK" if ok else "REGRESSION"
+        print(f"bench_gate: {label} {val:.1f} vs prior best "
+              f"{prior:.1f} ({prior_round}), {bar_name} {bar:.1f} "
+              f"-> {verdict}")
+        if not ok:
+            failures.append(label)
     if failures:
         print(f"bench_gate: FAIL — do not ship: {', '.join(failures)}")
         return 1

@@ -254,6 +254,107 @@ def test_dp_clip_inference_fused_mean_shardmap_matches_single_device():
                                atol=2e-2)
 
 
+def _pose_batch(cfg, bs, rng):
+    s, hw, l = cfg.n_source, cfg.image_size, cfg.label_nc
+    return {
+        "src_img": jnp.asarray(rng.random((bs, s, hw, hw, 3), np.float32)),
+        "src_lbl": jnp.asarray(
+            rng.integers(0, 2, (bs, s, hw, hw, l)).astype(np.float32)),
+        "src_bbox": jnp.asarray(
+            rng.integers(0, 2, (bs, s, hw, hw)).astype(np.float32)),
+        "tar_img": jnp.asarray(rng.random((bs, hw, hw, 3), np.float32)),
+        "tar_lbl": jnp.asarray(
+            rng.integers(0, 2, (bs, hw, hw, l)).astype(np.float32)),
+        "tar_bbox": jnp.asarray(
+            rng.integers(0, 2, (bs, hw, hw)).astype(np.float32)),
+    }
+
+
+def test_dp_pose_train_step_matches_single_device():
+    """One DP POSE train step over the mesh == the single-device step.
+
+    The pose variant adds exactly the pieces that are risky under GSPMD:
+    netDF on face crops in BOTH phases (reference
+    model/TSNet_pose.py:509-542) and the data-dependent `crop_faces`
+    bilinear gather (:438-482), whose sample positions are traced values
+    computed per batch element from the label map."""
+    import warnings
+
+    from wacv23_tsnet_tpu.configs import toy_pose_config
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.parallel import make_parallel_train_step
+    from wacv23_tsnet_tpu.parallel.spmd import shard_state
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = toy_pose_config()
+    mods = TSNetModules(cfg)
+    assert mods.netDF is not None
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(0), vgg_params=vgg)
+    batch = _pose_batch(cfg, bs=8, rng=np.random.default_rng(11))
+    lr = jnp.float32(2e-4)
+
+    single = make_train_step(mods, use_pallas=False, donate=False)
+    _, want_metrics, want_rec = single(state, batch, lr)
+    assert "DF" in want_metrics and "GF_GAN" in want_metrics
+
+    mesh = make_mesh(8, model_parallel=1)
+    pstep = make_parallel_train_step(mods, mesh, spatial_parallel=False,
+                                     use_pallas=False, donate=False)
+    sstate = shard_state(state, mesh, tensor_parallel=False)
+    sbatch = shard_batch(batch, mesh)
+    _, got_metrics, got_rec = pstep(sstate, sbatch, lr)
+
+    for k in want_metrics:
+        assert abs(float(want_metrics[k]) - float(got_metrics[k])) < 5e-3, k
+    np.testing.assert_allclose(np.asarray(got_rec), np.asarray(want_rec),
+                               atol=5e-3)
+
+
+def test_tp_sp_pose_train_step_matches_single_device():
+    """The pose step under the SHIPPED mesh shape (data x model): TP
+    resblock sharding + SP attention partitioning compose with the
+    crop_faces gather and netDF. Sharded contractions reorder reductions
+    and the temp-100 softmax amplifies the noise, so tolerances follow
+    the TP clip-inference test."""
+    import warnings
+
+    from wacv23_tsnet_tpu.configs import toy_pose_config
+    from wacv23_tsnet_tpu.nn import load_vgg19_params
+    from wacv23_tsnet_tpu.parallel import make_parallel_train_step
+    from wacv23_tsnet_tpu.parallel.spmd import shard_state
+    from wacv23_tsnet_tpu.train.state import create_train_state
+    from wacv23_tsnet_tpu.train.step import make_train_step
+
+    cfg = toy_pose_config()
+    mods = TSNetModules(cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vgg = load_vgg19_params()
+    state = create_train_state(mods, jax.random.PRNGKey(3), vgg_params=vgg)
+    batch = _pose_batch(cfg, bs=8, rng=np.random.default_rng(13))
+    lr = jnp.float32(2e-4)
+
+    single = make_train_step(mods, use_pallas=False, donate=False)
+    _, want_metrics, want_rec = single(state, batch, lr)
+
+    mesh = make_mesh(8, model_parallel=2)
+    pstep = make_parallel_train_step(mods, mesh, spatial_parallel=True,
+                                     use_pallas=False, donate=False)
+    sstate = shard_state(state, mesh, tensor_parallel=True)
+    sbatch = shard_batch(batch, mesh)
+    _, got_metrics, got_rec = pstep(sstate, sbatch, lr)
+
+    for k in want_metrics:
+        assert abs(float(want_metrics[k]) - float(got_metrics[k])) < 2e-2, k
+    diff = np.abs(np.asarray(got_rec) - np.asarray(want_rec))
+    assert diff.max() < 5e-2, diff.max()
+    assert diff.mean() < 2e-3, diff.mean()
+
+
 def test_dp_train_step_bwd_precision_matches_single_device():
     """The dual-precision backward (ops/dpconv custom_vjp) composes with
     the DP mesh: one sharded train step at bwd_precision='default' ==

@@ -165,3 +165,30 @@ def toy_config() -> TSNetConfig:
         dec_n_blocks=1,
         n_source=2,
     )
+
+
+def toy_pose_config() -> TSNetConfig:
+    """Tiny POSE config for fast unit tests: same thin trunk as
+    `toy_config` but with the pose variant's switches on — face-crop
+    discriminator netDF (reference model/TSNet_pose.py:509-542), the
+    data-dependent `crop_faces` gather (:438-482), fixed fg-mask
+    compositing (:276-280), no align loss. label_nc=8 is the smallest
+    width that exercises the head channels 1..4 and the face channel -1
+    read by `get_face_bbox`. d_n_layers=2: at the toy 64^2 size the face
+    crops are 16^2, where a 3-layer PatchGAN's deep maps degenerate to
+    zero-variance instance norms (NaN) — same choice as
+    tests/test_pose_variant.py."""
+    return TSNetConfig(
+        task="pose",
+        label_nc=8,
+        d_n_layers=2,
+        image_size=64,
+        ngf=8,
+        n_downsampling=2,
+        enc_n_blocks=2,
+        dec_n_blocks=1,
+        n_source=2,
+        use_face_d=True,
+        use_fg_mask=True,
+        use_align_loss=False,
+    )
