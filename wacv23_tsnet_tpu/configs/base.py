@@ -61,6 +61,16 @@ class TSNetConfig:
     # feed the temp-100 attention (only the encoders do), so tail
     # precision trades a small output drift for the bulk of the FLOPs.
     fast_tail: bool = False
+    # fast trunk (inference tier): the two ENCODERS' convs run at
+    # "default" MXU precision (one bf16 pass) instead of `precision`;
+    # activations stay f32 and the similarity logits/softmax/flow keep
+    # their fp32 path, so the temp-100 attention sees bf16-rounded
+    # FEATURES but full-precision MATH. The reference's hot path is
+    # these trunks (model/TSNet.py:309-407). Training REJECTS this tier:
+    # the gradient cosine through the attention collapses (0.088,
+    # artifacts/round4/bf16_trunk_cos_cpu.py); the drift/fps measurement
+    # that gates the inference adoption lives in artifacts/round5/.
+    fast_trunk: bool = False
     # MXU precision of the BACKWARD convs only (None = same as forward).
     # The backward pass of every conv is two more convs (input-cotangent
     # + filter-gradient); those feed Adam, not the precision-sensitive

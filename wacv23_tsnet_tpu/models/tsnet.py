@@ -52,13 +52,17 @@ class TSNetModules:
             enc_cls, dec_cls, fuse_cls, disc_cls = (
                 Encoder, Decoder, FuseNet, PatchDiscriminator)
         bwd = cfg.bwd_precision
+        # fast_trunk (inference tier): encoder convs at 1-pass bf16 MXU;
+        # activations stay f32 and the similarity math keeps its own
+        # precision path (see configs.TSNetConfig.fast_trunk)
+        trunk_prec = "default" if cfg.fast_trunk else prec
         self.img_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=cfg.enc_n_blocks,
                                addcoords=cfg.addcoords, dtype=dt,
-                               precision=prec, bwd_precision=bwd)
+                               precision=trunk_prec, bwd_precision=bwd)
         self.lbl_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=0, addcoords=cfg.addcoords, dtype=dt,
-                               precision=prec, bwd_precision=bwd)
+                               precision=trunk_prec, bwd_precision=bwd)
         tail_dt = jnp.bfloat16 if cfg.fast_tail else dt
         tail_prec = "default" if cfg.fast_tail else prec
         self.dec = dec_cls(output_nc=3, ngf=cfg.ngf,
