@@ -106,7 +106,15 @@ class RetargetSession:
         outs, pending = [], []
         for lo in range(0, f, self.chunk):
             idx = np.arange(lo, lo + self.chunk) % f
-            pending.append((lo, min(self.chunk, f - lo), dispatch(idx)))
+            rec = dispatch(idx)
+            # start the device->host copy as soon as the chunk's compute
+            # finishes instead of when its np.asarray comes due — D2H
+            # rides the tunnel concurrently with later chunks' compute
+            try:
+                rec.copy_to_host_async()
+            except AttributeError:
+                pass
+            pending.append((lo, min(self.chunk, f - lo), rec))
             self._drain(pending, outs, self.pipeline_depth)
         self._drain(pending, outs, 0)
         return np.concatenate(outs, axis=0)
