@@ -121,7 +121,7 @@ def main():
               "budget": {"B_vs_A_mean_l1": 0.005, "B_vs_R_mean_l1": 0.01}}
     for a, b in (("B", "A"), ("B", "R"), ("A", "R")):
         l1 = float(np.mean(np.abs(disp[a] - disp[b])))
-        ss = float(np.mean([ssim(x, y) for x, y in zip(disp[a], disp[b])]))
+        ss = float(np.mean(np.asarray(ssim(disp[a], disp[b]))))
         result[f"{a}_vs_{b}"] = {"display_mean_l1": round(l1, 6),
                                  "ssim": round(ss, 5)}
         print(f"[drift] {a} vs {b}: display L1 {l1:.5f}  SSIM {ss:.4f}")
