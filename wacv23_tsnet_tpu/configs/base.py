@@ -71,6 +71,16 @@ class TSNetConfig:
     # artifacts/round4/bf16_trunk_cos_cpu.py); the drift/fps measurement
     # that gates the inference adoption lives in artifacts/round5/.
     fast_trunk: bool = False
+    # ring-pad convs: compute every reflect-padded conv as a zero-pad
+    # conv + thin border-band correction convs instead of materializing
+    # the reflect-padded activation (ops/reflectconv.py; same sums,
+    # interiors bit-identical). Measured and REJECTED as default on the
+    # real chip: placing the borders costs more than the pad it removes
+    # (457 -> 512 ms/step, 719 -> 645 fps;
+    # artifacts/round5/ring_pad_ab.json). Kept as the documented
+    # measured rejection of the trace's 37.5 ms reflect_pad line
+    # (artifacts/round5/train_trace.py).
+    ring_pad: bool = False
     # MXU precision of the BACKWARD convs only (None = same as forward).
     # The backward pass of every conv is two more convs (input-cotangent
     # + filter-gradient); those feed Adam, not the precision-sensitive

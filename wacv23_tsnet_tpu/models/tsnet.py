@@ -59,10 +59,12 @@ class TSNetModules:
         self.img_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=cfg.enc_n_blocks,
                                addcoords=cfg.addcoords, dtype=dt,
-                               precision=trunk_prec, bwd_precision=bwd)
+                               precision=trunk_prec, bwd_precision=bwd,
+                               ring_pad=cfg.ring_pad)
         self.lbl_enc = enc_cls(ngf=cfg.ngf, n_downsampling=cfg.n_downsampling,
                                n_blocks=0, addcoords=cfg.addcoords, dtype=dt,
-                               precision=trunk_prec, bwd_precision=bwd)
+                               precision=trunk_prec, bwd_precision=bwd,
+                               ring_pad=cfg.ring_pad)
         tail_dt = jnp.bfloat16 if cfg.fast_tail else dt
         tail_prec = "default" if cfg.fast_tail else prec
         self.dec = dec_cls(output_nc=3, ngf=cfg.ngf,
@@ -262,7 +264,8 @@ def tsnet_forward(
                              tar_lbl_fea, dtype=mods.fuse_net.dtype,
                              precision=mods.fuse_net.precision,
                              use_pallas=bool(use_pallas),
-                             bwd_precision=cfg.bwd_precision)
+                             bwd_precision=cfg.bwd_precision,
+                             ring_pad=cfg.ring_pad)
     else:
         syn_fea = jnp.mean(jax.vmap(
             lambda f: mods.fuse_net.apply({"params": params["fuse_net"]},
@@ -280,7 +283,8 @@ def tsnet_forward(
     def run_dec(pf, sf):
         return decoder_apply_fast(mods.dec, params["dec"], pf, sf,
                                   return_fea=True,
-                                  bwd_precision=cfg.bwd_precision)
+                                  bwd_precision=cfg.bwd_precision,
+                                  ring_pad=cfg.ring_pad)
 
     if cfg.remat:
         run_dec = jax.checkpoint(run_dec)
@@ -364,7 +368,8 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
                             tar_fea.astype(jnp.float32),
                             dtype=mods.fuse_net.dtype,
                             precision=mods.fuse_net.precision,
-                            use_pallas=bool(use_pallas))
+                            use_pallas=bool(use_pallas),
+                            ring_pad=cfg.ring_pad)
     else:
         def fuse_one_source(fea_s):
             fea_b = jnp.broadcast_to(fea_s[None], (f,) + fea_s.shape).astype(dt)
@@ -381,7 +386,8 @@ def decode_with_sources(mods: TSNetModules, params: dict, src_pack: dict,
     from ..nn.decoder import decoder_apply_fast
     rec_img, _ = decoder_apply_fast(mods.dec, params["dec"], prop_fea,
                                     syn_fea, return_fea=False,
-                                    use_pallas_blocks=False)
+                                    use_pallas_blocks=False,
+                                    ring_pad=cfg.ring_pad)
     rec_img = rec_img.astype(jnp.float32)
     if cfg.use_fg_mask:
         rec_img = composite_foreground(rec_img, cfg)

@@ -71,7 +71,8 @@ _PREC = {
 def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
                        syn_fea: jnp.ndarray, return_fea: bool = True,
                        use_pallas_blocks: bool = False,
-                       bwd_precision: Optional[str] = None):
+                       bwd_precision: Optional[str] = None,
+                       ring_pad: bool = False):
     """`Decoder.__call__` with the upsample stages phase-decomposed.
 
     Identical math and param tree; each [bilinear-2x, reflect-pad, 3x3
@@ -91,10 +92,17 @@ def decoder_apply_fast(dec: Decoder, params: dict, prop_fea: jnp.ndarray,
     prec = _PREC[dec.precision]
 
     def conv(x, p, pad=0):
-        if pad:
-            x = reflect_pad(x, pad)
-        y = conv2d_dp(x, jnp.asarray(p["kernel"], dt), (1, 1), "VALID",
-                      precision=prec, bwd_precision=bwd_precision)
+        k = jnp.asarray(p["kernel"], dt)
+        if pad and ring_pad:
+            # same sums, no materialized pad (ops.reflectconv)
+            from ..ops.reflectconv import conv2d_reflect_dp
+            y = conv2d_reflect_dp(x, k, pad, precision=prec,
+                                  bwd_precision=bwd_precision)
+        else:
+            if pad:
+                x = reflect_pad(x, pad)
+            y = conv2d_dp(x, k, (1, 1), "VALID",
+                          precision=prec, bwd_precision=bwd_precision)
         return y + jnp.asarray(p["bias"], dt)
 
     # XLA instance_norm throughout: a fused Pallas IN (ops.pallas_norms)

@@ -31,15 +31,24 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     bwd_precision: Optional[str] = None
+    ring_pad: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.addcoords:
             x = coord_channels(x)
-        x = reflect_pad(x, 3)
-        x = DPConv(self.ngf, (7, 7), padding="VALID", kernel_init=conv_init,
-                   dtype=self.dtype, precision=self.precision,
-                   bwd_precision=self.bwd_precision, name="conv_in")(x)
+        if self.ring_pad:
+            from .blocks import RingDPConv
+            x = RingDPConv(self.ngf, (7, 7), pad=3, kernel_init=conv_init,
+                           dtype=self.dtype, precision=self.precision,
+                           bwd_precision=self.bwd_precision,
+                           name="conv_in")(x)
+        else:
+            x = reflect_pad(x, 3)
+            x = DPConv(self.ngf, (7, 7), padding="VALID",
+                       kernel_init=conv_init, dtype=self.dtype,
+                       precision=self.precision,
+                       bwd_precision=self.bwd_precision, name="conv_in")(x)
         x = instance_norm(x)
         x = nn.relu(x)
         for i in range(self.n_downsampling):
@@ -53,6 +62,7 @@ class Encoder(nn.Module):
             x = ResnetBlock(self.ngf * (2 ** self.n_downsampling),
                             dtype=self.dtype, precision=self.precision,
                             bwd_precision=self.bwd_precision,
+                            ring_pad=self.ring_pad,
                             name=f"block{j}")(x)
         if self.normalization:
             x = l2_normalize(x, axis=-1)

@@ -66,7 +66,7 @@ def _in_mean(x, use_pallas: bool):
 
 def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
               dtype=jnp.float32, precision: str = "highest",
-              use_pallas: bool = True) -> jnp.ndarray:
+              use_pallas: bool = True, ring_pad: bool = False) -> jnp.ndarray:
     """mean_s FuseNet(src_fea[s], tar_fea[f]) for all frames, split form.
 
     Exact algebraic restructuring of the generic path for S shared
@@ -95,6 +95,10 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     t = tar_fea.astype(dtype)
 
     def conv(x, k, pad=0):
+        if pad and ring_pad:
+            # same sums, no materialized pad (ops.reflectconv)
+            from ..ops.reflectconv import conv2d_reflect_dp
+            return conv2d_reflect_dp(x, k, pad, precision=prec)
         if pad:
             x = reflect_pad(x, pad)
         return jax.lax.conv_general_dilated(
@@ -150,7 +154,8 @@ def fuse_clip(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
 def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
                dtype=jnp.float32, precision: str = "highest",
                use_pallas: bool = True,
-               bwd_precision: str | None = None) -> jnp.ndarray:
+               bwd_precision: str | None = None,
+               ring_pad: bool = False) -> jnp.ndarray:
     """mean_s FuseNet(src_fea[b, s], tar_fea[b]) for the TRAIN shape:
     per-sample target features shared across that sample's S sources.
 
@@ -175,6 +180,11 @@ def fuse_train(params: dict, src_fea: jnp.ndarray, tar_fea: jnp.ndarray,
     t = tar_fea.astype(dtype)
 
     def conv(x, k, pad=0):
+        if pad and ring_pad:
+            # same sums, no materialized pad (ops.reflectconv)
+            from ..ops.reflectconv import conv2d_reflect_dp
+            return conv2d_reflect_dp(x, k, pad, precision=prec,
+                                     bwd_precision=bwd_precision)
         if pad:
             x = reflect_pad(x, pad)
         return conv2d_dp(x, k, (1, 1), "VALID", precision=prec,
