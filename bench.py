@@ -230,8 +230,13 @@ def measure_pose() -> tuple:
     from wacv23_tsnet_tpu.train.state import create_train_state
     from wacv23_tsnet_tpu.train.step import make_train_step
 
+    # fast_trunk adopted for pose inference on its own measured evidence
+    # (netDF-trained weights, bundled dance clip): display drift 0.00031
+    # mean L1 / 0.9997 SSIM vs the previous tier, 0.00035 vs the
+    # bit-parity anchor; 585.8 -> 677.4 fps
+    # (artifacts/round5/pose_fast_trunk_drift.json)
     cfg = dataclasses.replace(pose_config(), precision="high",
-                              fast_tail=True)
+                              fast_tail=True, fast_trunk=True)
     mods = TSNetModules(cfg)
     params = mods.init_generator_params(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
