@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--precision", default="high",
                    choices=["highest", "high", "default"],
                    help="MXU precision (high: 1.2e-3 L1 drift, 1.6x faster)")
+    p.add_argument("--fast-trunk", action="store_true",
+                   help="encoders at 1-pass bf16 MXU (3.1e-4 display drift; artifacts/round5/pose_fast_trunk_drift.json)")
     p.add_argument("--fast-tail", action="store_true",
                    help="bf16 fuse+decoder tail (extra speed, small drift)")
     p.add_argument("--seed", type=int, default=1234)
@@ -47,7 +49,8 @@ def main(argv=None):
     random.seed(args.seed)
     import dataclasses
     cfg = dataclasses.replace(pose_config(), precision=args.precision,
-                              fast_tail=args.fast_tail)
+                              fast_tail=args.fast_tail,
+                              fast_trunk=args.fast_trunk)
     params = load_params(args.restore_from, cfg)
 
     dataset = PoseDatasetTest(

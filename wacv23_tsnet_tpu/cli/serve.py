@@ -119,6 +119,9 @@ def main(argv=None):
     p.add_argument("--restore-from", default="")
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument("--precision", default="high")
+    p.add_argument("--fast-trunk", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="encoders at 1-pass bf16 MXU (inference-adopted tier, 4.7e-4 display drift; artifacts/round5/fast_trunk_drift.json)")
     p.add_argument("--fast-tail", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--toy", action="store_true",
@@ -132,7 +135,8 @@ def main(argv=None):
 
     base = toy_config() if args.toy else face_config()
     cfg = dataclasses.replace(base, precision=args.precision,
-                              fast_tail=args.fast_tail)
+                              fast_tail=args.fast_tail,
+                              fast_trunk=args.fast_trunk)
     params = load_params(args.restore_from, cfg)
     server = Server(cfg, params, chunk=args.chunk)
     httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
