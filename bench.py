@@ -267,8 +267,16 @@ def measure_pose() -> tuple:
     # 256 frames x 256^2 x 25ch f32 = 6.7 GB of the 16 GB HBM
     del fn, args, params, src_img, src_lbl, src_bbox, tar_lbl, tar_bbox
 
-    # pose train step at the shipped bs=10 (reference train_pose.py:29)
-    cfg_t = dataclasses.replace(pose_config(), precision="high")
+    # pose train step at the shipped bs=10 (reference train_pose.py:29).
+    # The face train tier's recipe (default-precision backward + bf16
+    # fast tail) adopted for pose in r05 on pose-side evidence:
+    # 687.5 -> 406.5 ms/step; grad cosine 0.974 between tiers
+    # (artifacts/round5/pose_train_tier.json) + matched-seed 500-step
+    # convergence A/B on the bundled dance data with final-step loss
+    # gaps <= 3.6% (artifacts/round5/pose_ab_history.json,
+    # runs/{pose_ft,pose_ab_base})
+    cfg_t = dataclasses.replace(pose_config(), precision="high",
+                                bwd_precision="default", fast_tail=True)
     mods_t = TSNetModules(cfg_t)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
@@ -444,7 +452,10 @@ def main():
         "pose_fps": pose_fps,
         "pose_train_ms_per_step": pose_train_ms,
         "pose_config": "256^2, label_nc=25, n_source=3, netDF + fg-mask; "
-                       "train at the shipped bs=10 (train_pose.py:29)",
+                       "train at the shipped bs=10 (train_pose.py:29), "
+                       "high fwd + default bwd + fast_tail (pose-side "
+                       "convergence A/B in artifacts/round5/"
+                       "pose_ab_history.json)",
     }
     if flops_per_frame:
         record["gflop_per_frame"] = round(flops_per_frame / 1e9, 1)
