@@ -149,3 +149,24 @@ def test_unknown_paths_are_404(served):
     base, _, _ = served
     assert _get(base + "/nope")[0] == 404
     assert _post(base + "/nope", {})[0] == 404
+
+
+def test_frames_base64_encoding(served):
+    import base64
+    base, _, _ = served
+    rng = np.random.default_rng(3)
+    status, body = _post(base + "/session", _session_payload(rng))
+    assert status == 200
+    sid = body["session"]
+    kp = _keypoints(rng, N_FRAMES)
+    status, plain = _post(base + "/frames",
+                          {"session": sid, "keypoints": kp.tolist()})
+    assert status == 200
+    status, b64 = _post(base + "/frames",
+                        {"session": sid, "keypoints": kp.tolist(),
+                         "encoding": "base64"})
+    assert status == 200 and b64["dtype"] == "uint8"
+    frames = np.frombuffer(base64.b64decode(b64["frames_b64"]),
+                           np.uint8).reshape(b64["shape"])
+    np.testing.assert_array_equal(frames,
+                                  np.asarray(plain["frames"], np.uint8))

@@ -13,6 +13,9 @@ API (JSON in, JSON out):
                    "src_bbox": [S,H,W] 0/1 list}       -> {"session": id}
   POST /frames    {"session": id, "keypoints": [F,68,2]}
                   -> {"frames": [F,H,W,3] uint8 RGB list, "ms": float}
+                  with "encoding": "base64" -> {"frames_b64": ...,
+                  "shape": [F,H,W,3], "dtype": "uint8", "ms": float}
+                  (~5x less wire text + negligible decode vs int lists)
   GET  /healthz   -> {"ok": true, "backend": "...", "sessions": n}
 """
 
@@ -66,9 +69,16 @@ class Server:
         t0 = time.time()
         with self.lock:
             rec = session.push_keypoints(kp)   # (F, H, W, 3) uint8 BGR
-        rgb = rec[..., ::-1]                   # BGR -> RGB, host-side flip
-        return {"frames": rgb.tolist(),
-                "ms": (time.time() - t0) * 1e3}
+        rgb = np.ascontiguousarray(rec[..., ::-1])   # BGR -> RGB
+        ms = (time.time() - t0) * 1e3
+        if payload.get("encoding") == "base64":
+            # JSON int lists cost ~10 MB of text + ~400 ms client decode
+            # per 8-frame chunk (measured); base64 of the raw uint8
+            # buffer is ~2 MB and decodes in microseconds
+            import base64
+            return {"frames_b64": base64.b64encode(rgb.tobytes()).decode(),
+                    "shape": list(rgb.shape), "dtype": "uint8", "ms": ms}
+        return {"frames": rgb.tolist(), "ms": ms}
 
 
 def make_handler(server: Server):
