@@ -73,43 +73,57 @@ def main():
         jax.block_until_ready(r)
     print("[trace] captured", flush=True)
 
-    paths = glob.glob(os.path.join(LOGDIR, "**", "*.xplane.pb"),
+    parse_trace(LOGDIR)
+
+
+def parse_trace(logdir: str):
+    """Aggregate the Chrome trace by source line (the xplane proto has
+    no importable parser in this image; the `.trace.json.gz` carries
+    the same per-op source_stack/model_flops/raw_bytes_accessed args)."""
+    import collections
+    import gzip
+
+    paths = glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                       recursive=True)
     if not paths:
-        print("[trace] NO xplane produced — profiler not supported "
-              "through this backend")
+        print("[trace] no chrome trace found")
         return
-    path = max(paths, key=os.path.getmtime)
-    print(f"[trace] parsing {path}", flush=True)
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
-    space = xplane_pb2.XSpace()
-    with open(path, "rb") as f:
-        space.ParseFromString(f.read())
-    agg = {}
-    planes = []
-    for plane in space.planes:
-        planes.append(plane.name)
-        if "TPU" not in plane.name and "tpu" not in plane.name.lower() \
-                and "device" not in plane.name.lower():
+    with gzip.open(max(paths, key=os.path.getmtime)) as f:
+        tr = json.load(f)
+    evs = tr["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name") for e in evs
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    by_src = collections.Counter()
+    flops_src = collections.Counter()
+    bytes_src = collections.Counter()
+    for e in evs:
+        if e.get("ph") != "X" or "TPU" not in str(pids.get(e.get("pid"),
+                                                           "")):
             continue
-        ev_names = dict(plane.event_metadata)
-        for line in plane.lines:
-            for ev in line.events:
-                md = ev_names.get(ev.metadata_id)
-                name = md.name if md else str(ev.metadata_id)
-                agg[name] = agg.get(name, 0.0) + ev.duration_ps / 1e9
-    print(f"[trace] planes: {planes}", flush=True)
-    top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
-    total = sum(agg.values())
-    print(f"[trace] total device op-time {total:.1f} ms over 3 steps "
-          f"({total/3:.1f} ms/step)")
-    for name, ms in top:
-        print(f"  {ms/3:9.2f} ms/step  {name[:110]}")
+        a = e.get("args") or {}
+        if not a.get("long_name") and not a.get("source"):
+            continue                      # wrapper/step markers
+        ms = e.get("dur", 0) / 1e3 / 3
+        src = a.get("source", e["name"])
+        by_src[src] += ms
+        flops_src[src] += float(a.get("model_flops", 0) or 0) / 3
+        bytes_src[src] += float(a.get("raw_bytes_accessed", 0) or 0) / 3
+    total = sum(by_src.values())
+    print(f"[trace] attributed device time {total:.1f} ms/step")
+    top = by_src.most_common(30)
+    for src, ms in top:
+        mxu = flops_src[src] / 197e12 * 1e3
+        hbm = bytes_src[src] / 819e9 * 1e3
+        print(f"  {ms:8.2f} ms  mxu-1p {mxu:6.1f}  hbm {hbm:6.1f}  {src}")
     with open(OUT, "w") as f:
-        json.dump({"planes": planes, "ms_per_step_total": round(total / 3, 1),
-                   "top_ops_ms_per_step": [
-                       {"op": n, "ms": round(ms / 3, 2)} for n, ms in top]},
-                  f, indent=2)
+        json.dump({
+            "ms_per_step_attributed": round(total, 1),
+            "by_source": [
+                {"src": s, "ms": round(ms, 2),
+                 "mxu_1pass_ms": round(flops_src[s] / 197e12 * 1e3, 2),
+                 "hbm_ms": round(bytes_src[s] / 819e9 * 1e3, 2)}
+                for s, ms in top],
+        }, f, indent=2)
     print(f"[trace] wrote {OUT}")
 
 
